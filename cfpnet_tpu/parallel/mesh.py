@@ -1,0 +1,47 @@
+"""Device mesh + sharding helpers.
+
+The reference's only parallelism is single-process ``torch.nn.DataParallel``
+over 4 GPUs (/root/reference/train.py:45, run.sh:2) — replicate/scatter/
+gather each step with implicit NCCL. The TPU-native equivalent is a 1-D
+``jax.sharding.Mesh`` over the slice: parameters replicated, batch sharded on
+the 'data' axis, gradient all-reduce emitted by XLA as ``psum`` over ICI
+(SURVEY.md §2.6-2.7). The mesh is exposed so TP/SP axes can be added later;
+DP is the capability contract.
+
+Multi-host: call ``jax.distributed.initialize()`` before ``make_mesh`` and
+feed per-host shards via ``shard_batch`` (jax.make_array_from_process_local_
+data) — collectives then ride ICI within a slice and DCN across hosts.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(dp_shards: int = 0, devices=None) -> Mesh:
+    """1-D data-parallel mesh over ``dp_shards`` devices (0 = all)."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = dp_shards if dp_shards > 0 else len(devices)
+    return Mesh(np.array(devices[:n]), ("data",))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Place a host batch dict on the mesh, sharded along the batch axis."""
+    sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)), batch
+        )
+    return jax.device_put(batch, sh)

@@ -1,0 +1,126 @@
+"""Jitted train / eval steps.
+
+One compiled graph per (mode, resolution): forward + loss + backward +
+optimizer update is a single XLA program; gradient all-reduce over the data
+axis is inserted by the compiler (params replicated, batch sharded — see
+``cfpnet_tpu.parallel.mesh``). This replaces the reference's per-step
+DataParallel scatter/gather (/root/reference/train.py:45,96-135).
+
+BatchNorm note: the reference's DataParallel keeps replica-0 per-device BN
+statistics; under global-batch jit the statistics are computed over the full
+global batch (sync-BN semantics) — strictly more faithful to the bs=16
+recipe.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax.training import train_state
+
+from ..ops.interp import resize_bilinear_align_corners
+from .losses import compute_errors, silog_loss
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: Any = None
+
+
+def make_train_step(model, config, geoms):
+    """Returns jitted ``(state, batch, rng) -> (state, loss)``.
+
+    batch: image [B,H,W,3], depth [B,H,W,1], hist_data [B,Z,n], mask [B,Z].
+    """
+
+    def train_step(state: TrainState, batch: Dict, rng):
+        def loss_fn(params):
+            (bin_edges, pred), updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["image"],
+                batch["hist_data"],
+                batch["mask"],
+                geoms,
+                train=True,
+                rngs={"fusion": rng},
+                mutable=["batch_stats"],
+            )
+            # reference train.py:121-123: clip pred at min_depth, mask gt
+            pred = jnp.clip(pred, config.min_depth, None)
+            dmask = batch["depth"] > config.min_depth
+            loss = silog_loss(pred, batch["depth"], dmask, interpolate=True)
+            return loss, updates
+
+        (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(
+            grads=grads, batch_stats=updates["batch_stats"]
+        )
+        return state, loss
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(model, config, geoms, protocol: str = "evaluate_all"):
+    """Returns jitted ``(params, batch_stats, batch) -> (pred_full, prob)``.
+
+    protocol='evaluate_all': clip to [min_depth, max_depth] then align-corners
+    upsample to input size (reference evaluate_all.py:37-44).
+    protocol='validate': upsample first, then clip to eval bounds with
+    NaN->min / Inf->max fixups (reference train.py:187-195).
+    """
+
+    out_h, out_w = None, None  # inferred from batch
+
+    def eval_step(params, batch_stats, batch):
+        variables = {"params": params}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+        bin_edges, pred, prob, _ = model.apply(
+            variables,
+            batch["image"],
+            batch["hist_data"],
+            batch["mask"],
+            geoms,
+            train=False,
+        )
+        H, W = batch["image"].shape[1], batch["image"].shape[2]
+        if protocol == "evaluate_all":
+            pred = jnp.clip(pred, config.min_depth, config.max_depth)
+            pred = resize_bilinear_align_corners(pred, H, W)
+        else:
+            pred = resize_bilinear_align_corners(pred, H, W)
+            pred = jnp.where(jnp.isinf(pred), config.max_depth_eval, pred)
+            pred = jnp.where(jnp.isnan(pred), config.min_depth_eval, pred)
+            pred = jnp.clip(pred, config.min_depth_eval, config.max_depth_eval)
+        return pred, prob
+
+    return jax.jit(eval_step)
+
+
+def make_metric_step(config):
+    """Jitted per-image metric computation (masked, shape-static)."""
+
+    def metric_step(gt, pred):
+        valid = (gt > config.min_depth_eval) & (gt < config.max_depth_eval)
+        return compute_errors(gt, pred, valid), valid.sum()
+
+    return jax.jit(metric_step)
+
+
+def create_train_state(model, config, rng, sample_batch, geoms, tx) -> TrainState:
+    variables = model.init(
+        {"params": rng, "fusion": jax.random.fold_in(rng, 1)},
+        sample_batch["image"],
+        sample_batch["hist_data"],
+        sample_batch["mask"],
+        geoms,
+        train=True,
+    )
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats"),
+        tx=tx,
+    )
