@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Headline benchmark: frames/sec/chip, bs=1, 480x640 depth completion.
+
+Mirrors the reference latency harness (/root/reference/evaluate_time.py:73-82):
+500 timed forwards on one batch, device fences, trimmed mean sorted[1:-2]/497.
+
+Prints ONE JSON line:
+  {"metric": "frames_per_sec_per_chip_480x640_bs1", "value": N,
+   "unit": "frames/s", "vs_baseline": N}
+
+``vs_baseline`` divides by an assumed reference number: the reference repo
+publishes no latency (SURVEY.md §6, BASELINE.md); we assume ~30 ms/frame
+(33.3 fps) for the PyTorch model on a modern CUDA GPU via its own
+evaluate_time harness. The driver's north-star is vs_baseline >= 2.
+"""
+
+import json
+import os
+import sys
+
+ASSUMED_REFERENCE_FPS = 33.3  # ~30 ms/frame on GPU (repo publishes no number)
+
+
+def main():
+    niters = int(os.environ.get("BENCH_ITERS", "500"))
+    from cfpnet_tpu.config import Config
+    from evaluate_time import timed_forward
+
+    config = Config(
+        n_bins=256,
+        attention_layer=["hist2image", "combine1", "image",
+                         "hist2image", "combine1", "image"],
+        change_embedding=True,
+        sample_uniform=True,
+        zone_sample_num=16,
+        dataset_eval="synthetic",
+        compute_dtype=os.environ.get("BENCH_DTYPE", "float32"),
+    ).replace(mode="online_eval")
+
+    ms, _pred = timed_forward(config, niters=niters)
+    fps = 1000.0 / ms
+    print(
+        json.dumps(
+            {
+                "metric": "frames_per_sec_per_chip_480x640_bs1",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / ASSUMED_REFERENCE_FPS, 3),
+                "latency_ms": round(ms, 3),
+                "dtype": config.compute_dtype,
+                "iters": niters,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,236 @@
+"""Datasets: NYUv2, ZJUL5, and a synthetic fixture.
+
+Host-side decode + augmentation matching the reference pipelines:
+- NYU train (reference src/dataloader/nyu.py:91-198): border crop 16/12 px,
+  optional random rotation ±2.5° (bilinear img / nearest depth), random crop
+  to (input_height, input_width), horizontal flip p=0.5, photometric aug
+  p=0.5 (gamma U(0.9,1.1), brightness U(0.75,1.25), per-channel color
+  U(0.9,1.1), clip [0,1]), ImageNet normalize, ToF simulation, hist dropout/
+  noise augmentation, point sampling.
+- NYU eval (reference nyu.py:136-146): native 480x640, normalize, ToF sim.
+- ZJUL5 (reference src/dataloader/zjuL5.py:74-155): h5 files carry real
+  VL53L5CX hist_data/fr/mask; only sampling + zone-subset ablation run.
+- Synthetic: procedurally generated RGB+depth for tests/benchmarks (the
+  reference has no equivalent; SURVEY.md §4 calls for it).
+
+Sample dict: image [H,W,3] f32 (normalized), depth [H,W,1] f32 (meters),
+hist_data [Z,n] f32, mask [Z] bool, focal f32. Zone geometry is static
+(see geometry.py) so no per-sample rect/patch_info tensors are shipped.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from . import tof_sim
+from .geometry import ZoneGeometry, geometry_for
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
+
+# camera intrinsics [fx, fy, cx, cy]
+NYU_K = np.array(
+    [518.8579, 519.4696, 325.5824 - 16.0, 253.7362 - 12.0], dtype=np.float32
+)
+ZJU_K = np.array([611.2, 609.6, 323.4, 244.9], dtype=np.float32)
+
+
+def normalize_image(img: np.ndarray) -> np.ndarray:
+    return (img - IMAGENET_MEAN) / IMAGENET_STD
+
+
+class NYUV2Dataset:
+    """NYUv2 depth-completion dataset with simulated ToF zone histograms."""
+
+    def __init__(self, config, mode: str, rng: Optional[np.random.Generator] = None):
+        assert mode in ("train", "online_eval")
+        self.config = config
+        self.mode = mode
+        self.rng = rng or np.random.default_rng(config.seed)
+        fname = config.filenames_file if mode == "train" else config.filenames_file_eval
+        with open(fname, "r") as f:
+            split = json.load(f)
+        self.sample_list = split["train" if mode == "train" else "test"]
+        self.data_root = config.data_path if mode == "train" else config.data_path_eval
+        self.focal = float(NYU_K[0])
+
+    def __len__(self):
+        return len(self.sample_list)
+
+    def _paths(self, idx):
+        # reference nyu.py:96-104: filename entries like 'sync/scene/00001.h5';
+        # strip the leading dir and swap in rgb_/sync_depth_ files.
+        entry = self.sample_list[idx]
+        fname = entry["filename"] if isinstance(entry, dict) else entry
+        rel = "/".join(fname.split("/")[1:])
+        base = os.path.join(self.data_root, rel)
+        num = os.path.basename(base).split(".")[0]
+        d = os.path.dirname(base)
+        return os.path.join(d, f"rgb_{num}.jpg"), os.path.join(d, f"sync_depth_{num}.png")
+
+    def __getitem__(self, idx) -> Dict[str, np.ndarray]:
+        from PIL import Image
+
+        rgb_path, depth_path = self._paths(idx)
+        image = Image.open(rgb_path)
+        depth_gt = Image.open(depth_path)
+        cfg = self.config
+
+        if self.mode == "train":
+            # border crop to avoid registration artifacts (reference :118-119)
+            image = image.crop((16, 12, 640 - 16, 480 - 12))
+            depth_gt = depth_gt.crop((16, 12, 640 - 16, 480 - 12))
+            if cfg.do_random_rotate:
+                angle = float((self.rng.random() - 0.5) * 2 * cfg.degree)
+                image = image.rotate(angle, resample=Image.BILINEAR)
+                depth_gt = depth_gt.rotate(angle, resample=Image.NEAREST)
+            img = np.asarray(image, dtype=np.float32) / 255.0
+            dep = np.asarray(depth_gt, dtype=np.float32) / 1000.0
+            img, dep = self._random_crop(img, dep, cfg.input_height, cfg.input_width)
+            img, dep = self._train_preprocess(img, dep)
+        else:
+            img = np.asarray(image, dtype=np.float32) / 255.0
+            dep = np.asarray(depth_gt, dtype=np.float32) / 1000.0
+
+        return finalize_sample(
+            img, dep, self.focal, cfg, self.mode, self.rng, simulate_hist=True
+        )
+
+    def _random_crop(self, img, dep, h, w):
+        y = int(self.rng.integers(0, img.shape[0] - h + 1))
+        x = int(self.rng.integers(0, img.shape[1] - w + 1))
+        return img[y : y + h, x : x + w], dep[y : y + h, x : x + w]
+
+    def _train_preprocess(self, img, dep):
+        if self.rng.random() > 0.5:
+            img = img[:, ::-1].copy()
+            dep = dep[:, ::-1].copy()
+        if self.rng.random() > 0.5:
+            img = self._augment_image(img)
+        return img, dep
+
+    def _augment_image(self, img):
+        gamma = self.rng.uniform(0.9, 1.1)
+        brightness = self.rng.uniform(0.75, 1.25)
+        colors = self.rng.uniform(0.9, 1.1, size=3).astype(np.float32)
+        img = np.clip((img**gamma) * brightness * colors[None, None, :], 0.0, 1.0)
+        return img.astype(np.float32)
+
+
+class ZJUL5Dataset:
+    """Real VL53L5CX captures; hist precomputed in h5 (eval only)."""
+
+    def __init__(self, config, mode: str = "online_eval"):
+        assert mode == "online_eval"
+        self.config = config
+        with open(config.filenames_file_eval, "r") as f:
+            self.sample_list = json.load(f)["test"]
+        self.data_root = config.data_path_eval
+        self.focal = float(ZJU_K[0])
+
+    def __len__(self):
+        return len(self.sample_list)
+
+    def __getitem__(self, idx) -> Dict[str, np.ndarray]:
+        import h5py
+
+        entry = self.sample_list[idx]
+        fname = entry["filename"] if isinstance(entry, dict) else entry
+        cfg = self.config
+        with h5py.File(os.path.join(self.data_root, fname), "r") as f:
+            img = np.asarray(f["rgb"][:], dtype=np.float32) / 255.0
+            dep = np.asarray(f["depth"][:], dtype=np.float32)
+            fh = np.asarray(f["hist_data"][:], dtype=np.float32)
+            mask = np.asarray(f["mask"][:]).astype(bool)
+        fh, _, mask = tof_sim.apply_zone_subset(
+            fh, np.zeros((len(mask), 4), np.float32), mask, cfg.zone_type
+        )
+        pts = tof_sim.sample_points(fh, mask, cfg.zone_sample_num, cfg.sample_uniform)
+        return dict(
+            image=normalize_image(img).astype(np.float32),
+            depth=dep[..., None] if dep.ndim == 2 else dep,
+            hist_data=pts,
+            mask=mask,
+            focal=np.float32(self.focal),
+        )
+
+
+class SyntheticDataset:
+    """Procedural RGB + depth with the REAL ToF simulation applied.
+
+    Deterministic per index; used by tests, bench.py and the demo driver when
+    no dataset is on disk.
+    """
+
+    def __init__(self, config, mode: str, length: int = 64):
+        self.config = config
+        self.mode = mode
+        self.length = length
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, idx) -> Dict[str, np.ndarray]:
+        cfg = self.config
+        h, w = cfg.image_size_for(self.mode)
+        rng = np.random.default_rng(cfg.seed * 1000003 + idx)
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        f1, f2 = rng.uniform(10, 60), rng.uniform(10, 60)
+        dep = 1.0 + 1.3 * np.sin(yy / f1) ** 2 + 1.1 * np.cos(xx / f2) ** 2
+        dep += 0.03 * rng.standard_normal((h, w)).astype(np.float32)
+        dep = np.clip(dep, 0.05, cfg.max_depth).astype(np.float32)
+        dep[rng.random((h, w)) < 0.01] = 0.0  # invalid pixels
+        img = np.stack(
+            [dep / dep.max()] * 3, axis=-1
+        ) * 0.5 + 0.25 * rng.random((h, w, 3)).astype(np.float32)
+        img = np.clip(img, 0, 1).astype(np.float32)
+        return finalize_sample(img, dep, 500.0, cfg, self.mode, rng, simulate_hist=True)
+
+
+def finalize_sample(
+    img: np.ndarray,
+    dep: np.ndarray,
+    focal: float,
+    cfg,
+    mode: str,
+    rng: np.random.Generator,
+    simulate_hist: bool = True,
+    offset=(0, 0),
+) -> Dict[str, np.ndarray]:
+    """Shared tail: normalize, ToF-simulate, augment, sample points."""
+    geom = geometry_for(cfg, mode, offset)
+    max_d = cfg.simu_max_distance
+    if cfg.random_simu_max_d and mode == "train":
+        max_d = float(rng.uniform(cfg.simu_min_d, cfg.simu_max_d))
+    fh, fr, mask = tof_sim.get_hist(dep, geom, max_d)
+    if mode == "train":
+        fh, mask = tof_sim.augment_hist(
+            fh, mask, rng,
+            drop_hist=cfg.drop_hist, noise_prob=cfg.noise_prob,
+            noise_mean=cfg.noise_mean, noise_sigma=cfg.noise_sigma,
+        )
+    if cfg.zone_type != f"{geom.zone_num}x{geom.zone_num}":
+        fh, fr, mask = tof_sim.apply_zone_subset(fh, fr, mask, cfg.zone_type)
+    pts = tof_sim.sample_points(fh, mask, cfg.zone_sample_num, cfg.sample_uniform)
+    return dict(
+        image=normalize_image(img).astype(np.float32),
+        depth=dep[..., None].astype(np.float32),
+        hist_data=pts,
+        mask=mask,
+        focal=np.float32(focal),
+    )
+
+
+def make_dataset(config, mode: str, rng=None):
+    name = config.dataset if mode == "train" else config.dataset_eval
+    if name == "nyu":
+        return NYUV2Dataset(config, mode, rng)
+    if name in ("zjuL5", "zju", "ZJUL5"):
+        return ZJUL5Dataset(config, mode)
+    if name == "synthetic":
+        return SyntheticDataset(config, mode)
+    raise NotImplementedError(f"dataset '{name}'")

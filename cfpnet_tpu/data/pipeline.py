@@ -1,0 +1,111 @@
+"""Host -> device data pipeline.
+
+Replaces the reference's 12-worker torch DataLoader
+(/root/reference/src/dataloader/nyu.py:48-52) with a background-thread
+prefetch pipeline that overlaps host decode/ToF-sim with device compute and
+lands batches directly on the mesh (batch axis sharded — SURVEY.md §2.7).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+from ..parallel.mesh import shard_batch
+
+
+def collate(samples) -> Dict[str, np.ndarray]:
+    keys = samples[0].keys()
+    return {k: np.stack([s[k] for s in samples], axis=0) for k in keys}
+
+
+class DataLoader:
+    """Minimal epoch-based loader: shuffle, batch, background prefetch."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        seed: int = 0,
+        prefetch: int = 2,
+        mesh=None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.prefetch = prefetch
+        self.mesh = mesh
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _index_order(self):
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(self.seed + self.epoch).shuffle(idx)
+        return idx
+
+    def __iter__(self) -> Iterator[Dict]:
+        order = self._index_order()
+        nb = len(self)
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for b in range(nb):
+                    if stop.is_set():
+                        return
+                    lo = b * self.batch_size
+                    chunk = order[lo : lo + self.batch_size]
+                    batch = collate([self.dataset[int(i)] for i in chunk])
+                    if self.mesh is not None and len(chunk) == self.batch_size:
+                        batch = shard_batch(batch, self.mesh)
+                    elif self.mesh is None:
+                        batch = jax.device_put(batch)
+                    q.put(batch)
+            except Exception as e:  # surface worker errors to the consumer
+                q.put(e)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+        self.epoch += 1
+
+
+def make_loader(config, mode: str, mesh=None, dataset=None) -> DataLoader:
+    """Loader policy matches the reference: train bs=config.bs shuffled;
+    eval bs=1 sequential (reference nyu.py:48-59)."""
+    from .datasets import make_dataset
+
+    if dataset is None:
+        dataset = make_dataset(config, mode)
+    if mode == "train":
+        return DataLoader(
+            dataset, config.bs, shuffle=True, drop_last=True, seed=config.seed,
+            mesh=mesh,
+        )
+    return DataLoader(dataset, 1, shuffle=False, drop_last=False)

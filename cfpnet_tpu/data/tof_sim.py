@@ -187,9 +187,9 @@ def zone_subset_slice(zone_type: str, full_zn: int) -> slice | None:
     8x8 -> identity; 6x6 -> rows/cols 1:7; 4x4 -> 2:6; 2x2 -> 3:5 of an 8x8
     grid (train 2x2 -> 2:4 of a 6x6 grid).
     """
-    if zone_type == f"{full_zn}x{full_zn}":
-        return None
     sub = int(zone_type.split("x")[0])
+    if sub >= full_zn:  # '8x8' (or larger) on an <=8-grid = no ablation
+        return None
     lo = (full_zn - sub) // 2
     return slice(lo, lo + sub)
 

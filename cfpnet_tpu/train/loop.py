@@ -1,0 +1,140 @@
+"""Training + evaluation loops.
+
+Mirrors the reference drivers (/root/reference/train.py:51-201) with the
+TPU-native step functions: per-epoch NYU validation with the 9-metric suite,
+best-RMSE checkpoint tracking ({ep}_{rmse:.3f} + rolling best — reference
+train.py:150-155), faithful resume, JSONL structured logging (the reference's
+wandb calls are commented out; SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ..data.pipeline import make_loader
+from ..models.deltar import make_model, model_geometries
+from ..parallel.mesh import make_mesh
+from .checkpoint import load_checkpoint, save_checkpoint, save_weights
+from .losses import RunningAverage, RunningAverageDict
+from .optim import make_optimizer
+from .steps import create_train_state, make_eval_step, make_metric_step, make_train_step
+
+
+class JsonlLogger:
+    def __init__(self, path: Optional[str]):
+        self.f = None
+        if path:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            self.f = open(path, "a")
+
+    def log(self, **kw):
+        if self.f:
+            kw.setdefault("ts", time.time())
+            self.f.write(json.dumps(kw) + "\n")
+            self.f.flush()
+
+    def close(self):
+        if self.f:
+            self.f.close()
+
+
+def evaluate(
+    model, config, params, batch_stats, loader, protocol: str = "validate",
+    max_batches: Optional[int] = None, tiny: bool = False,
+) -> Dict[str, float]:
+    """Full metric sweep over an eval loader (bs=1, native resolution)."""
+    geoms = model_geometries(config, "online_eval")
+    eval_step = make_eval_step(model, config, geoms, protocol=protocol)
+    metric_step = make_metric_step(config)
+    metrics = RunningAverageDict()
+    for i, batch in enumerate(loader):
+        if max_batches is not None and i >= max_batches:
+            break
+        pred, _prob = eval_step(params, batch_stats, batch)
+        m, n = metric_step(batch["depth"], pred)
+        if int(n) > 0:
+            metrics.update({k: float(v) for k, v in m.items()})
+    return metrics.get_value() or {}
+
+
+def run_training(config, tiny: bool = False, max_steps_per_epoch: Optional[int] = None):
+    """End-to-end training (reference train.py main_worker + train)."""
+    mesh = make_mesh(config.dp_shards)
+    model = make_model(config, tiny=tiny)
+    geoms_t = model_geometries(config, "train")
+
+    train_loader = make_loader(config, "train", mesh=mesh)
+    eval_loader = make_loader(config, "online_eval")
+
+    steps_per_epoch = len(train_loader)
+    if max_steps_per_epoch:
+        steps_per_epoch = min(steps_per_epoch, max_steps_per_epoch)
+    total_steps = config.epochs * steps_per_epoch
+    tx = make_optimizer(config, total_steps)
+
+    # init from the first batch's shapes
+    first_batch = next(iter(train_loader))
+    rng = jax.random.key(config.seed)
+    state = create_train_state(model, config, rng, first_batch, geoms_t, tx)
+
+    start_epoch, best_rmse = 0, float("inf")
+    if config.resume:
+        state, start_epoch, best_rmse = load_checkpoint(config.resume, state)
+        print(f"resumed from {config.resume} at epoch {start_epoch}")
+
+    train_step = make_train_step(model, config, geoms_t)
+    logger = JsonlLogger(
+        None if config.no_logging else os.path.join(config.save_dir, "train_log.jsonl")
+    )
+
+    step = int(state.step)
+    for epoch in range(start_epoch, config.epochs):
+        t_epoch = time.time()
+        loss_avg = RunningAverage()
+        for i, batch in enumerate(train_loader):
+            if max_steps_per_epoch and i >= max_steps_per_epoch:
+                break
+            step_rng = jax.random.fold_in(rng, step)
+            state, loss = train_step(state, batch, step_rng)
+            loss_avg.append(float(loss))
+            step += 1
+            if step % 50 == 0:
+                logger.log(kind="train", epoch=epoch, step=step, loss=float(loss))
+
+        # per-epoch validation (reference train.py:137-156; validate_every=1
+        # in production configs)
+        if step % max(config.validate_every, 1) == 0 or config.validate_every <= 1:
+            metrics = evaluate(
+                model, config, state.params, state.batch_stats, eval_loader,
+                protocol="validate", tiny=tiny,
+            )
+            rmse = metrics.get("rmse", float("inf"))
+            logger.log(kind="val", epoch=epoch, step=step, **metrics)
+            print(
+                f"epoch {epoch}: loss {loss_avg.get_value():.4f} "
+                f"rmse {rmse:.4f} ({time.time()-t_epoch:.0f}s)"
+            )
+            if not config.no_logging:
+                save_checkpoint(
+                    f"checkpoints/{config.name}/{epoch}_{rmse:.3f}", state, epoch, best_rmse
+                )
+                save_weights(
+                    f"weights/{config.name}/{epoch}_{rmse:.3f}",
+                    state.params, state.batch_stats,
+                )
+                if rmse < best_rmse:
+                    best_rmse = rmse
+                    save_checkpoint(
+                        f"checkpoints/{config.name}/best", state, epoch, best_rmse
+                    )
+                    save_weights(
+                        f"weights/{config.name}/best", state.params, state.batch_stats
+                    )
+    logger.close()
+    return state

@@ -1,0 +1,28 @@
+"""Visualization helpers (reference src/utils/utils.py:44-64)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def colorize(value: np.ndarray, vmin=10, vmax=1000, cmap: str = "magma_r") -> np.ndarray:
+    """Depth map -> RGB uint8 via a matplotlib colormap.
+
+    value: [H, W] (or [1, H, W]); -1 marks invalid (rendered white).
+    """
+    value = np.asarray(value)
+    if value.ndim == 3:
+        value = value[0]
+    invalid = value == -1
+    vmin = value.min() if vmin is None else vmin
+    vmax = value.max() if vmax is None else vmax
+    if vmin != vmax:
+        value = (value - vmin) / (vmax - vmin)
+    else:
+        value = value * 0.0
+    import matplotlib
+
+    cmapper = matplotlib.colormaps.get_cmap(cmap)
+    img = cmapper(value, bytes=True)
+    img[invalid] = 255
+    return img[:, :, :3]

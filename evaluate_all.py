@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Epoch-sweep evaluation driver.
+
+Surface matches the reference (/root/reference/evaluate_all.py:93-167):
+
+    python evaluate_all.py @configs/X.txt [--selected_epoch best]
+                            [--test_dataset nyu|zjuL5]
+
+Sweeps weights/{name}/{ep}_{rmse} checkpoints (or a single
+``--selected_epoch``), evaluates the full metric suite at native 480x640,
+and writes ``results[_nyu].csv`` (+ ``.xlsx`` when openpyxl is available —
+the reference hard-requires it; CSV is the always-on artifact).
+"""
+
+import csv
+import os
+
+from cfpnet_tpu.config import parse_config
+from cfpnet_tpu.data.pipeline import make_loader
+from cfpnet_tpu.models.deltar import make_model
+from cfpnet_tpu.train.checkpoint import load_weights
+from cfpnet_tpu.train.loop import evaluate
+
+METRICS = ["a1", "a2", "a3", "abs_rel", "rmse", "log_10", "rmse_log", "silog", "sq_rel"]
+
+
+def zju_overrides(config):
+    """Dataset-specific overrides (reference evaluate_all.py:99-109)."""
+    return config.replace(
+        data_path_eval="data/ZJUL5",
+        filenames_file_eval="data/ZJUL5/data.json",
+        native_height=480,
+        native_width=640,
+        max_depth=10.0,
+        min_depth=1e-3,
+        n_bins=256,
+        min_depth_eval=1e-3,
+        max_depth_eval=10.0,
+        zone_sample_num=16,
+        dataset_eval="zjuL5",
+    )
+
+
+def main():
+    config = parse_config().replace(mode="online_eval")
+    if "zjuL5" in config.test_dataset:
+        config = zju_overrides(config)
+    elif "nyu" in config.test_dataset:
+        config = config.replace(dataset_eval="nyu")
+
+    model = make_model(config)
+    loader = make_loader(config, "online_eval")
+
+    rows = []
+    weights_dir = os.path.join("weights", config.name)
+    for ep in range(config.epochs):
+        if config.selected_epoch != "-1":
+            weight_path = os.path.join(weights_dir, config.selected_epoch)
+        else:
+            names = [
+                n for n in sorted(os.listdir(weights_dir)) if n.startswith(f"{ep}_")
+            ] if os.path.isdir(weights_dir) else []
+            if not names:
+                continue
+            weight_path = os.path.join(weights_dir, names[0])
+
+        payload = load_weights(weight_path)
+        results = evaluate(
+            model, config, payload["params"], payload.get("batch_stats"), loader,
+            protocol="evaluate_all",
+        )
+        results = {k: round(v, 3) for k, v in results.items()}
+        print(f"Metrics: {results}")
+        print(",".join(str(results[m]) for m in METRICS))
+        rows.append([ep] + [results[m] for m in METRICS])
+        if config.selected_epoch != "-1":
+            break
+
+    os.makedirs(config.save_dir, exist_ok=True)
+    suffix = "_nyu" if "nyu" in config.test_dataset else ""
+    csv_path = os.path.join(config.save_dir, f"results{suffix}.csv")
+    with open(csv_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["epoch"] + METRICS)
+        w.writerows(rows)
+    print(f"wrote {csv_path}")
+    try:
+        import openpyxl
+
+        wb = openpyxl.Workbook()
+        ws = wb.active
+        ws.append(["epoch"] + METRICS)
+        for r in rows:
+            ws.append(r)
+        xlsx = os.path.join(config.save_dir, f"results{suffix}.xlsx")
+        wb.save(xlsx)
+        print(f"wrote {xlsx}")
+    except ImportError:
+        pass
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Latency benchmark driver.
+
+Mirrors the reference harness (/root/reference/evaluate_time.py:49-82):
+bs=1 at 480x640, warm-up, then 500 timed forwards on one batch with device
+fences (``block_until_ready`` replaces ``cuda.synchronize``), trimmed mean
+``sorted[1:-2]/497`` printed in ms. Also reports frames/sec/chip and
+(optionally, ``--profile_flops``) XLA-estimated FLOPs — the reference's thop
+MACs equivalent (evaluate_time.py:42-45).
+
+    python evaluate_time.py @configs/X.txt [--weight_path W]
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cfpnet_tpu.config import parse_config
+from cfpnet_tpu.data.datasets import SyntheticDataset, make_dataset
+from cfpnet_tpu.data.pipeline import collate
+from cfpnet_tpu.models.deltar import make_model, model_geometries
+from cfpnet_tpu.train.checkpoint import load_weights
+
+
+def timed_forward(config, tiny: bool = False, niters: int = 500, params=None,
+                  batch_stats=None, compute_dtype=None):
+    model = make_model(config, tiny=tiny)
+    geoms = model_geometries(config, "online_eval")
+
+    # one eval batch — real dataset if present, else synthetic
+    try:
+        ds = make_dataset(config, "online_eval")
+        sample = ds[0]
+    except (FileNotFoundError, NotImplementedError, KeyError):
+        ds = SyntheticDataset(config, "online_eval")
+        sample = ds[0]
+    batch = collate([sample])
+    dtype = jnp.dtype(compute_dtype or config.compute_dtype)
+    image = jnp.asarray(batch["image"], dtype)
+    hist = jnp.asarray(batch["hist_data"], dtype)
+    mask = jnp.asarray(batch["mask"])
+
+    if params is None:
+        variables = jax.jit(
+            lambda r: model.init(
+                {"params": r, "fusion": jax.random.fold_in(r, 1)},
+                image, hist, mask, geoms, train=False,
+            )
+        )(jax.random.key(config.seed))
+        params, batch_stats = variables["params"], variables.get("batch_stats")
+    if dtype != jnp.float32:
+        cast = lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x
+        params = jax.tree_util.tree_map(cast, params)
+        if batch_stats is not None:
+            batch_stats = jax.tree_util.tree_map(cast, batch_stats)
+
+    def fwd(p, bs, im, hh, mm):
+        variables = {"params": p}
+        if bs is not None:
+            variables["batch_stats"] = bs
+        return model.apply(variables, im, hh, mm, geoms, train=False)[1]
+
+    fwd = jax.jit(fwd)
+
+    # warm-up / compile (reference warms 100 batches; one compile suffices)
+    pred = fwd(params, batch_stats, image, hist, mask)
+    jax.block_until_ready(pred)
+
+    diffs = []
+    for _ in range(niters):
+        t = time.perf_counter()
+        pred = fwd(params, batch_stats, image, hist, mask)
+        jax.block_until_ready(pred)
+        diffs.append((time.perf_counter() - t) * 1000.0)
+    trimmed = sum(sorted(diffs)[1:-2]) / (niters - 3)
+    return trimmed, pred
+
+
+if __name__ == "__main__":
+    argv = sys.argv[1:]
+    profile_flops = "--profile_flops" in argv
+    argv = [a for a in argv if a != "--profile_flops"]
+    config = parse_config(argv).replace(mode="online_eval")
+    if "zjuL5" in config.test_dataset:
+        from evaluate_all import zju_overrides
+
+        config = zju_overrides(config)
+
+    params = batch_stats = None
+    if config.weight_path:
+        payload = load_weights(config.weight_path)
+        params, batch_stats = payload["params"], payload.get("batch_stats")
+
+    ms, _ = timed_forward(config, params=params, batch_stats=batch_stats)
+    print(f"{ms:.3f} ms")
+    print(f"{1000.0 / ms:.2f} frames/sec/chip")
+
+    if profile_flops:
+        model = make_model(config)
+        geoms = model_geometries(config, "online_eval")
+        h, w = config.native_height, config.native_width
+        zn = config.eval_zone_num
+        img = jnp.zeros((1, h, w, 3))
+        hist = jnp.zeros((1, zn * zn, config.zone_sample_num))
+        mask = jnp.ones((1, zn * zn), bool)
+        variables = jax.eval_shape(
+            lambda r: model.init({"params": r, "fusion": r}, img, hist, mask, geoms),
+            jax.random.key(0),
+        )
+        n_params = sum(
+            int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(variables["params"])
+        )
+        lowered = jax.jit(
+            lambda v, i, hh, m: model.apply(v, i, hh, m, geoms, train=False)[1]
+        ).lower(variables, img, hist, mask)
+        cost = lowered.compile().cost_analysis()
+        flops = cost.get("flops", float("nan")) if cost else float("nan")
+        print(f"params: {n_params/1e6:.3f} M, flops/forward: {flops/1e9:.2f} G")

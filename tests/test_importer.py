@@ -1,0 +1,141 @@
+"""Weight-importer tests: the torch->JAX name mapping must cover our full
+parameter tree with shape-correct transforms (validated via eval_shape — no
+full-model compute on the 1-core box)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cfpnet_tpu.config import Config
+from tools.import_torch_weights import (
+    export_reference_style,
+    import_reference_checkpoint,
+    import_timm_backbone,
+    backbone_mapping,
+)
+
+
+@pytest.fixture(scope="module")
+def full_model_shapes():
+    """Abstract param/batch_stats trees of the production model."""
+    from cfpnet_tpu.models.deltar import make_model, model_geometries
+
+    cfg = Config(
+        n_bins=256,
+        attention_layer=["hist2image", "combine1", "image",
+                         "hist2image", "combine1", "image"],
+        change_embedding=True,
+        sample_uniform=True,
+    )
+    model = make_model(cfg)
+    geoms = model_geometries(cfg, "online_eval")
+    img = jnp.zeros((1, 480, 640, 3))
+    hist = jnp.zeros((1, 64, 16))
+    mask = jnp.ones((1, 64), bool)
+    variables = jax.eval_shape(
+        lambda r: model.init({"params": r, "fusion": r}, img, hist, mask, geoms),
+        jax.random.key(0),
+    )
+    return cfg, variables
+
+
+def _tree_paths(tree, prefix=()):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_tree_paths(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = tuple(v.shape)
+    return out
+
+
+def test_reference_mapping_covers_full_tree(full_model_shapes):
+    cfg, variables = full_model_shapes
+    want_params = _tree_paths(variables["params"])
+    want_stats = _tree_paths(variables["batch_stats"])
+
+    # fabricate a reference-style state_dict with the right shapes by
+    # exporting random arrays shaped like our tree
+    rnd_params = jax.tree_util.tree_map(
+        lambda s: np.random.default_rng(0).standard_normal(s.shape).astype(np.float32),
+        variables["params"],
+    )
+    rnd_stats = jax.tree_util.tree_map(
+        lambda s: np.random.default_rng(1).standard_normal(s.shape).astype(np.float32),
+        variables["batch_stats"],
+    )
+    sd = export_reference_style(rnd_params, rnd_stats, cfg)
+    assert len(sd) > 400  # the full model has hundreds of tensors
+
+    params, stats, missing, unused = import_reference_checkpoint(sd, cfg)
+    assert not missing, f"mapping expected keys absent from export: {missing[:5]}"
+    assert not unused, f"exported keys the import ignored: {unused[:5]}"
+
+    got_params = _tree_paths(params)
+    got_stats = _tree_paths(stats)
+    miss_p = set(want_params) - set(got_params)
+    assert not miss_p, f"params not covered by importer: {sorted(miss_p)[:8]}"
+    miss_s = set(want_stats) - set(got_stats)
+    assert not miss_s, f"batch_stats not covered: {sorted(miss_s)[:8]}"
+    for k, shape in want_params.items():
+        assert got_params[k] == shape, f"{k}: {got_params[k]} != {shape}"
+    for k, shape in want_stats.items():
+        assert got_stats[k] == shape, f"{k}: {got_stats[k]} != {shape}"
+
+
+def test_roundtrip_values_identical(full_model_shapes):
+    """export -> import is the identity on values (transforms invert)."""
+    cfg, variables = full_model_shapes
+    rng = np.random.default_rng(2)
+    rnd = jax.tree_util.tree_map(
+        lambda s: rng.standard_normal(s.shape).astype(np.float32),
+        variables["params"],
+    )
+    rnd_stats = jax.tree_util.tree_map(
+        lambda s: rng.standard_normal(s.shape).astype(np.float32),
+        variables["batch_stats"],
+    )
+    sd = export_reference_style(rnd, rnd_stats, cfg)
+    params, stats, _, _ = import_reference_checkpoint(sd, cfg)
+    leaf0 = rnd["decoder"]["cross_atten1"]["positional_encodings"]
+    np.testing.assert_array_equal(
+        params["decoder"]["cross_atten1"]["positional_encodings"], leaf0
+    )
+    np.testing.assert_array_equal(
+        params["img_encoder"]["backbone"]["conv_stem"]["kernel"],
+        rnd["img_encoder"]["backbone"]["conv_stem"]["kernel"],
+    )
+    np.testing.assert_array_equal(
+        stats["img_encoder"]["backbone"]["bn1"]["mean"],
+        rnd_stats["img_encoder"]["backbone"]["bn1"]["mean"],
+    )
+
+
+def test_timm_backbone_mapping_structure(full_model_shapes):
+    """timm-style keys map onto the backbone subtree with correct shapes."""
+    cfg, variables = full_model_shapes
+    bb_params = variables["params"]["img_encoder"]["backbone"]
+    bb_stats = variables["batch_stats"]["img_encoder"]["backbone"]
+    mapping = backbone_mapping()
+
+    # fabricate timm state_dict from our shapes via the transform inverses
+    sd = {}
+    inv = {"kernel": lambda a: np.transpose(a, (3, 2, 0, 1))}
+    for tkey, (fpath, tr, col) in mapping.items():
+        node = bb_params if col == "params" else bb_stats
+        for p in fpath:
+            node = node[p]
+        shape = node.shape
+        if fpath[-1] == "kernel":
+            arr = np.zeros((shape[3], shape[2], shape[0], shape[1]), np.float32)
+        else:
+            arr = np.zeros(shape, np.float32)
+        sd[tkey] = arr
+    params, stats, missing, unused = import_timm_backbone(sd)
+    assert not missing and not unused
+    got = _tree_paths(params["backbone"])
+    want = _tree_paths(bb_params)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == tuple(want[k]), k

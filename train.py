@@ -1,0 +1,28 @@
+#!/usr/bin/env python
+"""Training driver.
+
+Invocation surface matches the reference (/root/reference/train.py,
+README.md:44-48):
+
+    python train.py @configs/train_..._combine1.txt
+    python train.py configs/debug.yaml
+    python train.py --dataset synthetic --epochs 1 ...
+"""
+
+import numpy as np
+
+from cfpnet_tpu.config import parse_config
+from cfpnet_tpu.train.loop import run_training
+
+
+def set_seeds(seed: int):
+    np.random.seed(seed)
+    import random
+
+    random.seed(seed)
+
+
+if __name__ == "__main__":
+    config = parse_config().replace(mode="train")
+    set_seeds(config.seed)  # reference train.py:218 (seed 117010053)
+    run_training(config)
