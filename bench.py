@@ -18,6 +18,10 @@ import json
 import os
 import sys
 
+from cfpnet_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache()
+
+
 ASSUMED_REFERENCE_FPS = 33.3  # ~30 ms/frame on GPU (repo publishes no number)
 
 

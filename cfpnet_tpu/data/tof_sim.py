@@ -105,7 +105,14 @@ def get_hist(
 
     Equivalent of ``get_hist_parallel`` (reference
     src/utils/dataloader.py:83-134) minus the torch tensor plumbing.
+    Dispatches to the native C++ kernel (native/tofsim.cpp) when built.
     """
+    from .native import native_get_hist
+
+    res = native_get_hist(depth, geom, max_distance, BIN_WIDTH, NOISE_FLOOR)
+    if res is not None:
+        fh, mask = res
+        return fh, geom.zone_rects(), mask
     hist = zone_histograms(depth, geom, max_distance)
     hist[:, 0] = 0.0
     hist = np.clip(hist - NOISE_FLOOR, 0.0, None)

@@ -21,6 +21,10 @@ from cfpnet_tpu.models.deltar import make_model
 from cfpnet_tpu.train.checkpoint import load_weights
 from cfpnet_tpu.train.loop import evaluate
 
+from cfpnet_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache()
+
+
 METRICS = ["a1", "a2", "a3", "abs_rel", "rmse", "log_10", "rmse_log", "silog", "sq_rel"]
 
 

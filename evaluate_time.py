@@ -24,6 +24,10 @@ from cfpnet_tpu.data.pipeline import collate
 from cfpnet_tpu.models.deltar import make_model, model_geometries
 from cfpnet_tpu.train.checkpoint import load_weights
 
+from cfpnet_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache()
+
+
 
 def timed_forward(config, tiny: bool = False, niters: int = 500, params=None,
                   batch_stats=None, compute_dtype=None):

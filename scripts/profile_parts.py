@@ -22,6 +22,10 @@ from cfpnet_tpu.models.deltar import make_model, model_geometries
 from cfpnet_tpu.models.decoder import Decoder
 from cfpnet_tpu.models.encoder import HistogramEncoder, ImageEncoder
 
+from cfpnet_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache()
+
+
 
 def bench(fn, *args, iters=100):
     out = fn(*args)

@@ -14,6 +14,10 @@ import numpy as np
 from cfpnet_tpu.config import parse_config
 from cfpnet_tpu.train.loop import run_training
 
+from cfpnet_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache()
+
+
 
 def set_seeds(seed: int):
     np.random.seed(seed)
