@@ -120,6 +120,12 @@ class Config:
     eval_zone_num_cfg: int = 8
     train_patch_px: int = 64
     eval_patch_px: int = 56
+    # --- self-supervised variant (SelfToF-style: photometric warping + pose
+    # branch on video pairs; no reference equivalent) ---
+    selfsup: bool = False
+    ssim_alpha: float = 0.85
+    smoothness_weight: float = 1e-3
+    zone_loss_weight: float = 1.0
 
     # --- derived fields (reference src/config.py:118-121) ---
     mode: str = "train"

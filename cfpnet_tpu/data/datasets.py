@@ -225,8 +225,100 @@ def finalize_sample(
     )
 
 
+class SyntheticPairDataset:
+    """Synthetic video pairs for the self-supervised variant: the source
+    frame is the same scene under a small camera shift (approximated by an
+    image-plane translation). Deterministic per index."""
+
+    def __init__(self, config, mode: str = "train", length: int = 64):
+        self.base = SyntheticDataset(config, mode, length)
+        self.config = config
+        self.mode = mode
+        self.length = length
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, idx) -> Dict[str, np.ndarray]:
+        cfg = self.config
+        rng = np.random.default_rng(cfg.seed * 7 + idx)
+        s = self.base[idx]
+        img_raw = (s["image"] * IMAGENET_STD + IMAGENET_MEAN).astype(np.float32)
+        dy, dx = int(rng.integers(-4, 5)), int(rng.integers(-4, 5))
+        src_raw = np.roll(img_raw, (dy, dx), axis=(0, 1))
+        fx = float(NYU_K[0])
+        h, w = img_raw.shape[:2]
+        K = np.array([[fx, 0, w / 2], [0, fx, h / 2], [0, 0, 1]], np.float32)
+        geom = geometry_for(cfg, self.mode)
+        fh, _, zmask = tof_sim.get_hist(s["depth"][..., 0], geom, cfg.simu_max_distance)
+        s.update(
+            image_raw=img_raw,
+            src_raw=src_raw,
+            zone_mu=fh[:, 0].astype(np.float32),
+            K=K,
+            K_inv=np.linalg.inv(K).astype(np.float32),
+        )
+        return s
+
+
+class NYUPairDataset(NYUV2Dataset):
+    """NYU video pairs: the source frame is the temporally adjacent sync
+    frame in the same scene directory (falls back to the target frame when
+    no neighbor exists). Train-time augmentation is disabled (self-sup
+    warping needs geometrically consistent pairs)."""
+
+    def __getitem__(self, idx) -> Dict[str, np.ndarray]:
+        from PIL import Image
+
+        cfg = self.config
+        rgb_path, depth_path = self._paths(idx)
+        d = os.path.dirname(rgb_path)
+        num = int(os.path.basename(rgb_path)[4:].split(".")[0])
+        src_path = os.path.join(d, f"rgb_{num + 1:05d}.jpg")
+        if not os.path.exists(src_path):
+            src_path = os.path.join(d, f"rgb_{num - 1:05d}.jpg")
+        if not os.path.exists(src_path):
+            src_path = rgb_path
+
+        img = np.asarray(Image.open(rgb_path), np.float32) / 255.0
+        src = np.asarray(Image.open(src_path), np.float32) / 255.0
+        dep = np.asarray(Image.open(depth_path), np.float32) / 1000.0
+
+        # center-crop to the train size (no random aug: pairs must stay
+        # geometrically consistent)
+        h, w = cfg.image_size_for(self.mode)
+        y0 = (img.shape[0] - h) // 2
+        x0 = (img.shape[1] - w) // 2
+        img = img[y0 : y0 + h, x0 : x0 + w]
+        src = src[y0 : y0 + h, x0 : x0 + w]
+        dep = dep[y0 : y0 + h, x0 : x0 + w]
+
+        s = finalize_sample(img, dep, self.focal, cfg, self.mode,
+                            self.rng, simulate_hist=True)
+        geom = geometry_for(cfg, self.mode)
+        fh, _, _ = tof_sim.get_hist(dep, geom, cfg.simu_max_distance)
+        fx, fy, cx, cy = NYU_K
+        K = np.array(
+            [[fx, 0, cx - x0], [0, fy, cy - y0], [0, 0, 1]], np.float32
+        )
+        s.update(
+            image_raw=img.astype(np.float32),
+            src_raw=src.astype(np.float32),
+            zone_mu=fh[:, 0].astype(np.float32),
+            K=K,
+            K_inv=np.linalg.inv(K).astype(np.float32),
+        )
+        return s
+
+
 def make_dataset(config, mode: str, rng=None):
     name = config.dataset if mode == "train" else config.dataset_eval
+    if config.selfsup and mode == "train":
+        if name == "nyu":
+            return NYUPairDataset(config, mode, rng)
+        if name == "synthetic":
+            return SyntheticPairDataset(config, mode)
+        raise NotImplementedError(f"self-sup dataset '{name}'")
     if name == "nyu":
         return NYUV2Dataset(config, mode, rng)
     if name in ("zjuL5", "zju", "ZJUL5"):

@@ -68,16 +68,20 @@ def param_group_labels(params, hist_encoder_10x: bool = True):
     """
     slow = {"img_encoder"} if hist_encoder_10x else {"img_encoder", "hist_encoder"}
 
-    def label_tree(tree):
-        return {
-            k: _label_sub(v, "backbone" if k in slow else "rest")
-            for k, v in tree.items()
-        }
-
     def _label_sub(tree, label):
         if isinstance(tree, dict):
             return {k: _label_sub(v, label) for k, v in tree.items()}
         return label
+
+    def label_tree(tree):
+        # self-supervised nesting: {'depth': <model tree>, 'pose': <posenet>}
+        if set(tree.keys()) == {"depth", "pose"}:
+            return {"depth": label_tree(tree["depth"]),
+                    "pose": _label_sub(tree["pose"], "rest")}
+        return {
+            k: _label_sub(v, "backbone" if k in slow else "rest")
+            for k, v in tree.items()
+        }
 
     return label_tree(params)
 

@@ -30,11 +30,15 @@ enable_compilation_cache()
 def bench(fn, *args, iters=100):
     out = fn(*args)
     jax.block_until_ready(out)
-    t = time.perf_counter()
+    # per-call fencing (same protocol as bench.py / the reference harness)
+    times = []
     for _ in range(iters):
+        t = time.perf_counter()
         out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t) / iters * 1000.0
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t)
+    times.sort()
+    return sum(times[: max(1, iters // 2)]) / max(1, iters // 2) * 1000.0
 
 
 def main():
@@ -100,6 +104,37 @@ def main():
     )
     dfn = jax.jit(lambda v: dec.apply(v, feats, hfeats, mask, geoms, train=False))
     print(f"decoder+fusion: {bench(dfn, decv):.3f} ms")
+
+    # fusion modules alone, per scale
+    from cfpnet_tpu.models.fusion import TransformerFusion
+
+    for scale, dim, kern in ((4, 32, 31), (8, 64, 15), (16, 128, 7)):
+        fh, fw = h // scale, w // scale
+        fus = TransformerFusion(
+            embedding_dim=dim, max_resolution=(fh, fw),
+            layer_names=tuple(cfg.attention_layer), large_kernel=kern,
+            zone_sample_num=16, change_embedding=True,
+        )
+        x = jnp.zeros((1, fh, fw, dim), dtype)
+        f1 = jnp.zeros((1, 64, 16, dim), dtype)
+        fv = jax.tree_util.tree_map(
+            cast,
+            jax.jit(lambda r: fus.init({"params": r, "fusion": r}, x, f1, mask,
+                                       geoms[scale]))(jax.random.key(0)),
+        )
+        ffn = jax.jit(lambda v: fus.apply(v, x, f1, mask, geoms[scale], train=False))
+        print(f"fusion@1/{scale} ({dim}d, k{kern}): {bench(ffn, fv):.3f} ms")
+
+    # Block14 large-kernel dwconv alone at 1/4
+    from cfpnet_tpu.models.convnext import Block14
+
+    for scale, dim, kern in ((4, 32, 31), (8, 64, 15)):
+        fh, fw = h // scale, w // scale
+        blk = Block14(dim, kern)
+        x = jnp.zeros((1, fh, fw, dim), dtype)
+        bv = jax.tree_util.tree_map(cast, jax.jit(lambda r: blk.init(r, x))(jax.random.key(0)))
+        bfn2 = jax.jit(lambda v: blk.apply(v, x, train=False))
+        print(f"block14@1/{scale} k{kern}: {bench(bfn2, bv):.3f} ms")
 
 
 if __name__ == "__main__":

@@ -29,4 +29,9 @@ def set_seeds(seed: int):
 if __name__ == "__main__":
     config = parse_config().replace(mode="train")
     set_seeds(config.seed)  # reference train.py:218 (seed 117010053)
-    run_training(config)
+    if config.selfsup:
+        from cfpnet_tpu.train.selfsup import run_selfsup_training
+
+        run_selfsup_training(config)
+    else:
+        run_training(config)
