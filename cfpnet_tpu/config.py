@@ -110,9 +110,11 @@ class Config:
     dp_shards: int = 0
     # seed (reference train.py:218 uses 117010053).
     seed: int = 117010053
-    # use Pallas kernels for hot ops where available (falls back to XLA
-    # automatically on CPU).
-    use_pallas: bool = True
+    # use Pallas kernels for the hot ops (fused linear attention, large-
+    # kernel depthwise conv). Default OFF: the XLA paths already hit ~1 ms
+    # full-model latency and the Pallas variants are equivalence-tested but
+    # not yet proven faster on this tunnel (see ops/dispatch.py).
+    use_pallas: bool = False
     # zone-grid geometry knobs. Production values match the reference's
     # hard-coded constants (src/utils/dataloader.py:93-100): train zones are
     # 64x64 px, eval is the full 8x8 VL53L5CX grid of 56x56 px zones.
@@ -126,6 +128,11 @@ class Config:
     ssim_alpha: float = 0.85
     smoothness_weight: float = 1e-3
     zone_loss_weight: float = 1.0
+    # --- observability / debugging ---
+    # jax_debug_nans: fail fast on NaN anywhere in the jitted graphs
+    debug_nans: bool = False
+    # write a jax.profiler trace of the timed region to this directory
+    trace_dir: str = ""
 
     # --- derived fields (reference src/config.py:118-121) ---
     mode: str = "train"

@@ -20,6 +20,20 @@ _TRIED = False
 def _find_lib() -> Optional[str]:
     here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     cand = os.path.join(here, "native", "libtofsim.so")
+    if not os.path.exists(cand):
+        # one-shot build attempt (the .so is a build artifact, not in git)
+        src = os.path.join(here, "native", "tofsim.cpp")
+        if os.path.exists(src):
+            import subprocess
+
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                     "-o", cand, src],
+                    check=True, capture_output=True, timeout=120,
+                )
+            except Exception:
+                return None
     return cand if os.path.exists(cand) else None
 
 

@@ -16,7 +16,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.dwconv import depthwise_conv2d
+from ..ops.dispatch import dwconv2d as depthwise_conv2d
 
 KINIT = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 

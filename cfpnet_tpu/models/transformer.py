@@ -28,7 +28,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.attention import linear_attention
+from ..ops.dispatch import attention as linear_attention
 from .convnext import Block14
 
 KINIT = nn.initializers.variance_scaling(2.0, "fan_out", "normal")

@@ -31,6 +31,9 @@ enable_compilation_cache()
 
 def timed_forward(config, tiny: bool = False, niters: int = 500, params=None,
                   batch_stats=None, compute_dtype=None):
+    from cfpnet_tpu.ops.dispatch import set_use_pallas
+
+    set_use_pallas(config.use_pallas)
     model = make_model(config, tiny=tiny)
     geoms = model_geometries(config, "online_eval")
 
@@ -73,12 +76,20 @@ def timed_forward(config, tiny: bool = False, niters: int = 500, params=None,
     pred = fwd(params, batch_stats, image, hist, mask)
     jax.block_until_ready(pred)
 
+    import contextlib
+
+    trace_cm = (
+        jax.profiler.trace(config.trace_dir)
+        if getattr(config, "trace_dir", "")
+        else contextlib.nullcontext()
+    )
     diffs = []
-    for _ in range(niters):
-        t = time.perf_counter()
-        pred = fwd(params, batch_stats, image, hist, mask)
-        jax.block_until_ready(pred)
-        diffs.append((time.perf_counter() - t) * 1000.0)
+    with trace_cm:
+        for _ in range(niters):
+            t = time.perf_counter()
+            pred = fwd(params, batch_stats, image, hist, mask)
+            jax.block_until_ready(pred)
+            diffs.append((time.perf_counter() - t) * 1000.0)
     trimmed = sum(sorted(diffs)[1:-2]) / (niters - 3)
     return trimmed, pred
 

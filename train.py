@@ -29,6 +29,14 @@ def set_seeds(seed: int):
 if __name__ == "__main__":
     config = parse_config().replace(mode="train")
     set_seeds(config.seed)  # reference train.py:218 (seed 117010053)
+    if config.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
+    if config.use_pallas:
+        from cfpnet_tpu.ops.dispatch import set_use_pallas
+
+        set_use_pallas(True)
     if config.selfsup:
         from cfpnet_tpu.train.selfsup import run_selfsup_training
 
