@@ -39,6 +39,7 @@ def main():
         zone_sample_num=16,
         dataset_eval="synthetic",
         compute_dtype=os.environ.get("BENCH_DTYPE", "float32"),
+        use_pallas=os.environ.get("BENCH_PALLAS", "0") == "1",
     ).replace(mode="online_eval")
 
     ms, _pred = timed_forward(config, niters=niters)

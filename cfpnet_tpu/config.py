@@ -133,6 +133,11 @@ class Config:
     debug_nans: bool = False
     # write a jax.profiler trace of the timed region to this directory
     trace_dir: str = ""
+    # use the tiny backbone/decoder (tests, demos, dry runs)
+    tiny_model: bool = False
+    # rematerialize backbone activations in the backward pass (trade FLOPs
+    # for HBM — enables larger per-chip batch)
+    remat: bool = False
 
     # --- derived fields (reference src/config.py:118-121) ---
     mode: str = "train"

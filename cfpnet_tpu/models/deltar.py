@@ -48,6 +48,9 @@ class Deltar(nn.Module):
     encoder_channels: Sequence[int] = (232, 136, 56, 40, 16)
     decoder_channels: Sequence[int] = (256, 256, 128, 64, 32)
     num_classes: int = 128
+    # rematerialize the image encoder in the backward pass (jax.checkpoint):
+    # recompute backbone activations instead of holding them in HBM
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -58,7 +61,10 @@ class Deltar(nn.Module):
         geoms: Dict[int, ScaleGeometry],
         train: bool = False,
     ):
-        img_features = ImageEncoder(self.stem_chs, self.stages, name="img_encoder")(
+        enc_cls = ImageEncoder
+        if self.remat:
+            enc_cls = nn.remat(ImageEncoder, static_argnums=(2,))
+        img_features = enc_cls(self.stem_chs, self.stages, name="img_encoder")(
             rgb, train
         )
         hc = tuple(c // 2 for c in (self.decoder_channels[3], self.decoder_channels[2],
@@ -105,7 +111,9 @@ class Deltar(nn.Module):
 
 def make_model(config, tiny: bool = False) -> Deltar:
     """Model factory (reference src/utils/utils.py:7-10)."""
+    tiny = tiny or getattr(config, "tiny_model", False)
     kw = dict(
+        remat=getattr(config, "remat", False),
         n_bins=config.n_bins,
         min_val=config.min_depth,
         max_val=config.max_depth,

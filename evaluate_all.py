@@ -49,6 +49,8 @@ def main():
     config = parse_config().replace(mode="online_eval")
     if "zjuL5" in config.test_dataset:
         config = zju_overrides(config)
+    elif "synthetic" in config.test_dataset:
+        config = config.replace(dataset_eval="synthetic")
     elif "nyu" in config.test_dataset:
         config = config.replace(dataset_eval="nyu")
 

@@ -155,6 +155,31 @@ def test_zjul5_h5(tmp_path, tiny_config):
     assert s2["hist_data"].shape == (16, 16)
 
 
+def test_nyu_pair_dataset(fake_nyu):
+    from cfpnet_tpu.data.datasets import NYUPairDataset
+
+    cfg = fake_nyu.replace(selfsup=True, do_random_rotate=False)
+    ds = NYUPairDataset(cfg, "train")
+    s = ds[0]
+    assert s["image"].shape == (416, 544, 3)
+    assert s["image_raw"].shape == (416, 544, 3)
+    assert s["src_raw"].shape == (416, 544, 3)
+    assert s["zone_mu"].shape == (36,)
+    assert s["K"].shape == (3, 3) and s["K_inv"].shape == (3, 3)
+    np.testing.assert_allclose(s["K"] @ s["K_inv"], np.eye(3), atol=1e-4)
+    # raw image is 0..1 (unnormalized)
+    assert 0.0 <= s["image_raw"].min() and s["image_raw"].max() <= 1.0
+
+
+def test_synthetic_pair_dataset(tiny_config):
+    from cfpnet_tpu.data.datasets import SyntheticPairDataset
+
+    ds = SyntheticPairDataset(tiny_config.replace(selfsup=True), "train", length=2)
+    s = ds[0]
+    assert s["src_raw"].shape == s["image_raw"].shape
+    assert not np.array_equal(s["src_raw"], s["image_raw"])  # shifted frame
+
+
 def test_collate():
     a = {"x": np.zeros((2, 3)), "y": np.float32(1.0)}
     b = {"x": np.ones((2, 3)), "y": np.float32(2.0)}
