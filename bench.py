@@ -44,6 +44,9 @@ def main():
 
     ms, _pred = timed_forward(config, niters=niters)
     fps = 1000.0 / ms
+    bs8 = int(os.environ.get("BENCH_THROUGHPUT_BS", "8"))
+    ms8, _ = timed_forward(config, niters=max(100, niters // 4), batch_size=bs8)
+    fps8 = bs8 * 1000.0 / ms8
     print(
         json.dumps(
             {
@@ -51,9 +54,11 @@ def main():
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / ASSUMED_REFERENCE_FPS, 3),
-                "latency_ms": round(ms, 3),
+                "latency_ms_bs1": round(ms, 3),
+                "throughput_fps_bs%d" % bs8: round(fps8, 2),
                 "dtype": config.compute_dtype,
                 "iters": niters,
+                "timing": "in-graph chained (see evaluate_time.timed_forward)",
             }
         )
     )

@@ -186,11 +186,30 @@ def geometry_for(config, mode: str, offset: Tuple[int, int] = (0, 0)) -> ZoneGeo
     Train: ``train_zone_num`` zones of 64x64 px on the train crop.
     Eval:  8x8 zones of 56x56 px on the native resolution.
     (reference src/utils/dataloader.py:93-102)
+
+    ``zone_type`` ablations select the central sub-grid, shrinking the zone
+    grid AND shifting its origin — the reference recomputes patch_info from
+    the subset rects (nyu.py:180, zjuL5.py:135), reproduced here.
     """
     h, w = config.image_size_for(mode)
     zn = config.zone_num_for(mode)
     ph, pw = config.zone_patch_px_for(mode)
-    return ZoneGeometry(
+    geom = ZoneGeometry(
         img_h=h, img_w=w, zone_num=zn, patch_px_h=ph, patch_px_w=pw,
         offset_y=offset[0], offset_x=offset[1],
     )
+    zone_type = getattr(config, "zone_type", f"{zn}x{zn}")
+    sub = int(zone_type.split("x")[0])
+    if sub < zn:
+        lo = (zn - sub) // 2
+        # subset origin = full-grid origin + lo zones; express as an offset
+        # relative to the sub-grid's natural centering
+        sub_sy = geom.sy_px + lo * ph
+        sub_sx = geom.sx_px + lo * pw
+        natural_sy = int((h - ph * sub) / 2)
+        natural_sx = int((w - pw * sub) / 2)
+        geom = ZoneGeometry(
+            img_h=h, img_w=w, zone_num=sub, patch_px_h=ph, patch_px_w=pw,
+            offset_y=sub_sy - natural_sy, offset_x=sub_sx - natural_sx,
+        )
+    return geom

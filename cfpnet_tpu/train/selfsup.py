@@ -183,13 +183,15 @@ def run_selfsup_training(config, tiny: bool = False,
 
 def create_selfsup_state(depth_model, config, rng, batch, geoms, tx) -> SelfSupState:
     pose_model = PoseNet()
-    dvars = depth_model.init(
-        {"params": rng, "fusion": jax.random.fold_in(rng, 1)},
-        batch["image"], batch["hist_data"], batch["mask"], geoms, train=True,
-    )
-    pvars = pose_model.init(
-        jax.random.fold_in(rng, 2), batch["image_raw"], batch["src_raw"]
-    )
+    dvars = jax.jit(
+        lambda r, img, hist, mask: depth_model.init(
+            {"params": r, "fusion": jax.random.fold_in(r, 1)},
+            img, hist, mask, geoms, train=True,
+        )
+    )(rng, batch["image"], batch["hist_data"], batch["mask"])
+    pvars = jax.jit(
+        lambda r, a, b: pose_model.init(r, a, b)
+    )(jax.random.fold_in(rng, 2), batch["image_raw"], batch["src_raw"])
     return SelfSupState.create(
         apply_fn=depth_model.apply,
         params={"depth": dvars["params"], "pose": pvars["params"]},

@@ -110,13 +110,16 @@ def make_metric_step(config):
 
 
 def create_train_state(model, config, rng, sample_batch, geoms, tx) -> TrainState:
-    variables = model.init(
-        {"params": rng, "fusion": jax.random.fold_in(rng, 1)},
-        sample_batch["image"],
-        sample_batch["hist_data"],
-        sample_batch["mask"],
-        geoms,
-        train=True,
+    # jit the init: eager flax init dispatches per-op (minutes over the
+    # remote-device tunnel); jitted it is one program.
+    init_fn = jax.jit(
+        lambda r, img, hist, mask: model.init(
+            {"params": r, "fusion": jax.random.fold_in(r, 1)},
+            img, hist, mask, geoms, train=True,
+        )
+    )
+    variables = init_fn(
+        rng, sample_batch["image"], sample_batch["hist_data"], sample_batch["mask"]
     )
     return TrainState.create(
         apply_fn=model.apply,

@@ -30,7 +30,19 @@ enable_compilation_cache()
 
 
 def timed_forward(config, tiny: bool = False, niters: int = 500, params=None,
-                  batch_stats=None, compute_dtype=None):
+                  batch_stats=None, compute_dtype=None, chained: bool = True,
+                  batch_size: int = 1):
+    """Latency harness.
+
+    chained=True (default): K forwards are chained inside ONE jit with a
+    loop-carried data dependence and wall time is divided by K. This is the
+    honest protocol on remote-attached devices where ``block_until_ready``
+    can acknowledge before device completion (observed on this axon tunnel:
+    per-call fencing understated the bs=1 forward ~70x).
+    chained=False: the reference's literal per-call protocol
+    (/root/reference/evaluate_time.py:73-82) — valid on locally attached
+    devices.
+    """
     from cfpnet_tpu.ops.dispatch import set_use_pallas
 
     set_use_pallas(config.use_pallas)
@@ -44,7 +56,7 @@ def timed_forward(config, tiny: bool = False, niters: int = 500, params=None,
     except (FileNotFoundError, NotImplementedError, KeyError):
         ds = SyntheticDataset(config, "online_eval")
         sample = ds[0]
-    batch = collate([sample])
+    batch = collate([sample] * batch_size)
     dtype = jnp.dtype(compute_dtype or config.compute_dtype)
     image = jnp.asarray(batch["image"], dtype)
     hist = jnp.asarray(batch["hist_data"], dtype)
@@ -64,17 +76,11 @@ def timed_forward(config, tiny: bool = False, niters: int = 500, params=None,
         if batch_stats is not None:
             batch_stats = jax.tree_util.tree_map(cast, batch_stats)
 
-    def fwd(p, bs, im, hh, mm):
+    def fwd_once(p, bs, im, hh, mm):
         variables = {"params": p}
         if bs is not None:
             variables["batch_stats"] = bs
         return model.apply(variables, im, hh, mm, geoms, train=False)[1]
-
-    fwd = jax.jit(fwd)
-
-    # warm-up / compile (reference warms 100 batches; one compile suffices)
-    pred = fwd(params, batch_stats, image, hist, mask)
-    jax.block_until_ready(pred)
 
     import contextlib
 
@@ -83,6 +89,40 @@ def timed_forward(config, tiny: bool = False, niters: int = 500, params=None,
         if getattr(config, "trace_dir", "")
         else contextlib.nullcontext()
     )
+
+    if chained:
+        K = 25
+        reps = max(4, niters // K)
+
+        def chain(p, bs, im, hh, mm):
+            def body(i, acc):
+                pred = fwd_once(p, bs, acc, hh, mm)
+                # loop-carried dependence; epsilon keeps values unchanged
+                return im + (pred.reshape(-1)[0] * 1e-30).astype(im.dtype)
+
+            last = jax.lax.fori_loop(0, K, body, im)
+            pred = fwd_once(p, bs, last, hh, mm)
+            # reduce to a scalar: forcing it to the host (float()) is the
+            # only fence this tunnel cannot acknowledge early
+            return pred, jnp.sum(pred)
+
+        cfwd = jax.jit(chain)
+        pred, s = cfwd(params, batch_stats, image, hist, mask)
+        float(s)
+        diffs = []
+        with trace_cm:
+            for _ in range(reps):
+                t = time.perf_counter()
+                pred, s = cfwd(params, batch_stats, image, hist, mask)
+                float(s)
+                diffs.append((time.perf_counter() - t) * 1000.0 / (K + 1))
+        diffs.sort()
+        trimmed = sum(diffs[1:-1]) / max(1, len(diffs) - 2) if len(diffs) > 2 else diffs[0]
+        return trimmed, pred
+
+    fwd = jax.jit(fwd_once)
+    pred = fwd(params, batch_stats, image, hist, mask)
+    jax.block_until_ready(pred)
     diffs = []
     with trace_cm:
         for _ in range(niters):
