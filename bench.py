@@ -1,8 +1,14 @@
 #!/usr/bin/env python
 """Headline benchmark: frames/sec/chip, bs=1, 480x640 depth completion.
 
-Mirrors the reference latency harness (/root/reference/evaluate_time.py:73-82):
-500 timed forwards on one batch, device fences, trimmed mean sorted[1:-2]/497.
+Protocol mirrors the reference latency harness
+(/root/reference/evaluate_time.py:73-82) with one infrastructure fix: on a
+remote-attached TPU, per-call device fences acknowledge before completion,
+so forwards are chained inside one jit with a loop-carried data dependence
+and a host-forced scalar (see evaluate_time.timed_forward); the same
+trimmed-mean reduction applies. A batched-throughput field is included
+(production serving batches; the reference's bs=1 comes from its
+DataParallel eval limitation).
 
 Prints ONE JSON line:
   {"metric": "frames_per_sec_per_chip_480x640_bs1", "value": N,

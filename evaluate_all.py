@@ -90,19 +90,11 @@ def main():
         w.writerow(["epoch"] + METRICS)
         w.writerows(rows)
     print(f"wrote {csv_path}")
-    try:
-        import openpyxl
+    from cfpnet_tpu.utils.xlsx import write_xlsx
 
-        wb = openpyxl.Workbook()
-        ws = wb.active
-        ws.append(["epoch"] + METRICS)
-        for r in rows:
-            ws.append(r)
-        xlsx = os.path.join(config.save_dir, f"results{suffix}.xlsx")
-        wb.save(xlsx)
-        print(f"wrote {xlsx}")
-    except ImportError:
-        pass
+    xlsx = os.path.join(config.save_dir, f"results{suffix}.xlsx")
+    write_xlsx(xlsx, [["epoch"] + METRICS] + rows)
+    print(f"wrote {xlsx}")
 
 
 if __name__ == "__main__":
