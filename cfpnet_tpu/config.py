@@ -135,6 +135,10 @@ class Config:
     trace_dir: str = ""
     # use the tiny backbone/decoder (tests, demos, dry runs)
     tiny_model: bool = False
+    # run the post-decode data pipeline (flip/photometric/normalize/ToF sim/
+    # hist aug/sampling) on-device as one fused XLA program per batch
+    # (data/tof_sim_jax.py); the host only decodes+crops.
+    device_pipeline: bool = False
     # rematerialize backbone activations in the backward pass (trade FLOPs
     # for HBM — enables larger per-chip batch)
     remat: bool = False

@@ -91,6 +91,11 @@ class NYUV2Dataset:
             img = np.asarray(image, dtype=np.float32) / 255.0
             dep = np.asarray(depth_gt, dtype=np.float32) / 1000.0
             img, dep = self._random_crop(img, dep, cfg.input_height, cfg.input_width)
+            if cfg.device_pipeline:
+                # the fused on-device pipeline handles flip/photometric/
+                # normalize/ToF — ship raw crops only
+                return dict(image_raw=img.astype(np.float32),
+                            depth=dep[..., None].astype(np.float32))
             img, dep = self._train_preprocess(img, dep)
         else:
             img = np.asarray(image, dtype=np.float32) / 255.0
@@ -188,6 +193,8 @@ class SyntheticDataset:
             [dep / dep.max()] * 3, axis=-1
         ) * 0.5 + 0.25 * rng.random((h, w, 3)).astype(np.float32)
         img = np.clip(img, 0, 1).astype(np.float32)
+        if cfg.device_pipeline and self.mode == "train":
+            return dict(image_raw=img, depth=dep[..., None])
         return finalize_sample(img, dep, 500.0, cfg, self.mode, rng, simulate_hist=True)
 
 

@@ -23,16 +23,17 @@ def _kernel(x_ref, w_ref, b_ref, out_ref, *, k: int, H: int, W: int):
     # x_ref: [1, H+k-1, W+k-1, C] (pre-padded); w_ref: [k*k, C]; b_ref: [1, C]
     import jax.experimental.pallas as pl
 
-    def body(t, acc):
-        dy = t // k
-        dx = t % k
-        tap = w_ref[t, :]
-        tile = x_ref[0, pl.ds(dy, H), pl.ds(dx, W), :]
-        return acc + tile.astype(jnp.float32) * tap
+    def body(dy, acc):
+        # one dynamic row-slice per kernel row; the k column taps are STATIC
+        # slices of it (dynamic per-tap slicing costs ~10x — scalar-core
+        # address computation blocks the VPU pipeline)
+        rows = x_ref[0, pl.ds(dy, H), :, :]
+        w_row = w_ref[pl.ds(dy * k, k), :]
+        for dx in range(k):
+            acc = acc + rows[:, dx : dx + W, :].astype(jnp.float32) * w_row[dx, :]
+        return acc
 
-    # fori_loop keeps one live accumulator (a python unroll of k*k taps blows
-    # the Mosaic VMEM stack at k=31)
-    acc = jax.lax.fori_loop(0, k * k, body, jnp.zeros(out_ref.shape[1:], jnp.float32))
+    acc = jax.lax.fori_loop(0, k, body, jnp.zeros(out_ref.shape[1:], jnp.float32))
     out_ref[0] = (acc + b_ref[0]).astype(out_ref.dtype)
 
 

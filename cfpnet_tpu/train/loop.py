@@ -81,6 +81,18 @@ def run_training(config, tiny: bool = False, max_steps_per_epoch: Optional[int] 
     # init from the first batch's shapes
     first_batch = next(iter(train_loader))
     rng = jax.random.key(config.seed)
+    if config.device_pipeline:
+        from ..data.geometry import geometry_for as _gf
+        from ..data.tof_sim_jax import device_preprocess as _dp
+
+        _pg = _gf(config, "train")
+        first_batch = dict(
+            first_batch,
+            **_dp(first_batch["image_raw"], first_batch["depth"][..., 0],
+                  jax.random.fold_in(rng, 777), _pg,
+                  max_distance=config.simu_max_distance,
+                  zone_sample_num=config.zone_sample_num, train=True),
+        )
     state = create_train_state(model, config, rng, first_batch, geoms_t, tx)
 
     start_epoch, best_rmse = 0, float("inf")
@@ -93,6 +105,24 @@ def run_training(config, tiny: bool = False, max_steps_per_epoch: Optional[int] 
         None if config.no_logging else os.path.join(config.save_dir, "train_log.jsonl")
     )
 
+    device_prep = None
+    if config.device_pipeline:
+        from ..data.geometry import geometry_for
+        from ..data.tof_sim_jax import device_preprocess
+
+        pix_geom = geometry_for(config, "train")
+
+        def device_prep(batch, prep_rng):
+            out = device_preprocess(
+                batch["image_raw"], batch["depth"][..., 0], prep_rng, pix_geom,
+                max_distance=config.simu_max_distance,
+                zone_sample_num=config.zone_sample_num,
+                drop_hist=config.drop_hist, noise_prob=config.noise_prob,
+                noise_mean=config.noise_mean, noise_sigma=config.noise_sigma,
+                train=True,
+            )
+            return dict(batch, **out)
+
     step = int(state.step)
     for epoch in range(start_epoch, config.epochs):
         t_epoch = time.time()
@@ -101,6 +131,8 @@ def run_training(config, tiny: bool = False, max_steps_per_epoch: Optional[int] 
             if max_steps_per_epoch and i >= max_steps_per_epoch:
                 break
             step_rng = jax.random.fold_in(rng, step)
+            if device_prep is not None:
+                batch = device_prep(batch, jax.random.fold_in(step_rng, 777))
             state, loss = train_step(state, batch, step_rng)
             loss_avg.append(float(loss))
             step += 1
