@@ -139,6 +139,8 @@ class Config:
     # hist aug/sampling) on-device as one fused XLA program per batch
     # (data/tof_sim_jax.py); the host only decodes+crops.
     device_pipeline: bool = False
+    # number of procedural samples in the synthetic dataset
+    synthetic_length: int = 64
     # rematerialize backbone activations in the backward pass (trade FLOPs
     # for HBM — enables larger per-chip batch)
     remat: bool = False

@@ -331,5 +331,8 @@ def make_dataset(config, mode: str, rng=None):
     if name in ("zjuL5", "zju", "ZJUL5"):
         return ZJUL5Dataset(config, mode)
     if name == "synthetic":
-        return SyntheticDataset(config, mode)
+        length = getattr(config, "synthetic_length", 64)
+        if mode != "train":
+            length = min(length, 64)
+        return SyntheticDataset(config, mode, length)
     raise NotImplementedError(f"dataset '{name}'")

@@ -22,10 +22,18 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(dp_shards: int = 0, devices=None) -> Mesh:
-    """1-D data-parallel mesh over ``dp_shards`` devices (0 = all)."""
+def make_mesh(dp_shards: int = 0, devices=None, batch_size: Optional[int] = None) -> Mesh:
+    """1-D data-parallel mesh over ``dp_shards`` devices (0 = all).
+
+    When ``batch_size`` is given, the shard count is clamped to the largest
+    divisor of the batch (a 1-chip mesh for bs=2 on an 8-device host, etc.).
+    """
     devices = list(devices if devices is not None else jax.devices())
     n = dp_shards if dp_shards > 0 else len(devices)
+    n = min(n, len(devices))
+    if batch_size is not None:
+        while n > 1 and batch_size % n != 0:
+            n -= 1
     return Mesh(np.array(devices[:n]), ("data",))
 
 

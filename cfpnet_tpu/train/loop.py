@@ -46,12 +46,18 @@ class JsonlLogger:
 
 def evaluate(
     model, config, params, batch_stats, loader, protocol: str = "validate",
-    max_batches: Optional[int] = None, tiny: bool = False,
+    max_batches: Optional[int] = None, tiny: bool = False, steps=None,
 ) -> Dict[str, float]:
-    """Full metric sweep over an eval loader (bs=1, native resolution)."""
-    geoms = model_geometries(config, "online_eval")
-    eval_step = make_eval_step(model, config, geoms, protocol=protocol)
-    metric_step = make_metric_step(config)
+    """Full metric sweep over an eval loader (bs=1, native resolution).
+
+    Pass ``steps=(eval_step, metric_step)`` to reuse jitted steps across
+    epochs (a fresh make_eval_step per call would re-trace every epoch)."""
+    if steps is not None:
+        eval_step, metric_step = steps
+    else:
+        geoms = model_geometries(config, "online_eval")
+        eval_step = make_eval_step(model, config, geoms, protocol=protocol)
+        metric_step = make_metric_step(config)
     metrics = RunningAverageDict()
     for i, batch in enumerate(loader):
         if max_batches is not None and i >= max_batches:
@@ -65,7 +71,7 @@ def evaluate(
 
 def run_training(config, tiny: bool = False, max_steps_per_epoch: Optional[int] = None):
     """End-to-end training (reference train.py main_worker + train)."""
-    mesh = make_mesh(config.dp_shards)
+    mesh = make_mesh(config.dp_shards, batch_size=config.bs)
     model = make_model(config, tiny=tiny)
     geoms_t = model_geometries(config, "train")
 
@@ -98,6 +104,12 @@ def run_training(config, tiny: bool = False, max_steps_per_epoch: Optional[int] 
     start_epoch, best_rmse = 0, float("inf")
     if config.resume:
         state, start_epoch, best_rmse = load_checkpoint(config.resume, state)
+        # orbax restores onto a single device; re-place replicated on the mesh
+        from ..parallel.mesh import replicated_sharding
+
+        step_val = int(state.step)
+        state = jax.device_put(state, replicated_sharding(mesh))
+        state = state.replace(step=step_val)
         print(f"resumed from {config.resume} at epoch {start_epoch}")
 
     train_step = make_train_step(model, config, geoms_t)
@@ -123,6 +135,12 @@ def run_training(config, tiny: bool = False, max_steps_per_epoch: Optional[int] 
             )
             return dict(batch, **out)
 
+    geoms_e = model_geometries(config, "online_eval")
+    eval_steps = (
+        make_eval_step(model, config, geoms_e, protocol="validate"),
+        make_metric_step(config),
+    )
+
     step = int(state.step)
     for epoch in range(start_epoch, config.epochs):
         t_epoch = time.time()
@@ -144,7 +162,7 @@ def run_training(config, tiny: bool = False, max_steps_per_epoch: Optional[int] 
         if step % max(config.validate_every, 1) == 0 or config.validate_every <= 1:
             metrics = evaluate(
                 model, config, state.params, state.batch_stats, eval_loader,
-                protocol="validate", tiny=tiny,
+                protocol="validate", tiny=tiny, steps=eval_steps,
             )
             rmse = metrics.get("rmse", float("inf"))
             logger.log(kind="val", epoch=epoch, step=step, **metrics)

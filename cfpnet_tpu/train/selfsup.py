@@ -130,7 +130,7 @@ def run_selfsup_training(config, tiny: bool = False,
     from .losses import RunningAverage
     from .optim import make_optimizer
 
-    mesh = make_mesh(config.dp_shards)
+    mesh = make_mesh(config.dp_shards, batch_size=config.bs)
     model = make_model(config, tiny=tiny)
     geoms = model_geometries(config, "train")
     pixel_geom = geometry_for(config, "train")
