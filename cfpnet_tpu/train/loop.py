@@ -58,6 +58,10 @@ def evaluate(
         geoms = model_geometries(config, "online_eval")
         eval_step = make_eval_step(model, config, geoms, protocol=protocol)
         metric_step = make_metric_step(config)
+    # checkpoint restores are host arrays; pin them on device once
+    params = jax.device_put(params)
+    if batch_stats is not None:
+        batch_stats = jax.device_put(batch_stats)
     metrics = RunningAverageDict()
     for i, batch in enumerate(loader):
         if max_batches is not None and i >= max_batches:

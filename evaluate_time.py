@@ -70,6 +70,12 @@ def timed_forward(config, tiny: bool = False, niters: int = 500, params=None,
             )
         )(jax.random.key(config.seed))
         params, batch_stats = variables["params"], variables.get("batch_stats")
+    else:
+        # checkpoint restores land as host arrays — without an explicit
+        # device_put every jit call re-uploads the full parameter set
+        params = jax.device_put(params)
+        if batch_stats is not None:
+            batch_stats = jax.device_put(batch_stats)
     if dtype != jnp.float32:
         cast = lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x
         params = jax.tree_util.tree_map(cast, params)
