@@ -1,1 +1,1 @@
-from .vis import colorize
+from .vis import colorize, unnormalize
