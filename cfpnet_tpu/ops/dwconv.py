@@ -16,24 +16,35 @@ from jax import lax
 
 
 def depthwise_conv2d(
-    x: jnp.ndarray, kernel: jnp.ndarray, bias=None, densify_threshold: int = 128
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias=None,
+    densify_threshold: int = 128,
+    fft_threshold: int = 13,
 ) -> jnp.ndarray:
     """SAME-padded stride-1 depthwise conv.
 
     x: [B, H, W, C]; kernel: [kh, kw, 1, C] (HWIO with feature groups).
     Padding matches torch ``padding=(k-1)//2`` for odd k.
 
-    TPU mapping: XLA lowers ``feature_group_count=C`` large-kernel convs to
-    the VPU with poor efficiency (measured 22 ms for k=31 @120x160x32 on
-    v5e — the single dominant cost of the whole model). For C <=
-    ``densify_threshold`` we instead express the op as a DENSE conv with a
-    channel-diagonal kernel: a Cx FLOP waste that rides the MXU and is two
-    orders of magnitude faster. Numerics identical (zeros off-diagonal).
+    TPU mapping (all three paths measured with chained host-forced timing on
+    a v5e, k=31 @120x160x32):
+    - XLA's native ``feature_group_count=C`` lowering: 22 ms — pathological
+      for large kernels (used only for C > densify_threshold, i.e. the
+      backbone's small k=3 depthwise convs where it is fine).
+    - channel-diagonal DENSE conv (Cx FLOP waste on the MXU): 4.9 ms.
+    - FFT convolution (this is a linear convolution: the padded transform
+      length H+k-1 prevents wraparound; the kernel is flipped because FFT
+      computes convolution while XLA convs compute correlation): 0.94 ms.
+      Used when k >= fft_threshold. f32 roundoff vs the direct conv is
+      ~1e-5 relative.
     """
     c = x.shape[-1]
     kh, kw = kernel.shape[0], kernel.shape[1]
     pad = [((kh - 1) // 2, (kh - 1) // 2), ((kw - 1) // 2, (kw - 1) // 2)]
-    if c <= densify_threshold:
+    if min(kh, kw) >= fft_threshold:
+        out = _fft_depthwise(x, kernel)
+    elif c <= densify_threshold:
         # dense[ky,kx,i,o] = kernel[ky,kx,0,o] if i == o else 0
         dense = kernel.reshape(kh, kw, 1, c) * jnp.eye(c, dtype=kernel.dtype)[None, None]
         out = lax.conv_general_dilated(
@@ -49,3 +60,20 @@ def depthwise_conv2d(
     if bias is not None:
         out = out + bias
     return out
+
+
+def _fft_depthwise(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Linear FFT convolution equal to the SAME-padded correlation above."""
+    B, H, W, C = x.shape
+    kh, kw = kernel.shape[0], kernel.shape[1]
+    ph, pw = (kh - 1) // 2, (kw - 1) // 2
+    FH, FW = H + kh - 1, W + kw - 1
+    in_dtype = x.dtype
+    xt = jnp.transpose(x, (0, 3, 1, 2)).astype(jnp.float32)  # [B,C,H,W]
+    # flip: correlation == convolution with a flipped kernel
+    kt = jnp.transpose(kernel[::-1, ::-1, 0, :], (2, 0, 1)).astype(jnp.float32)
+    Xf = jnp.fft.rfft2(xt, s=(FH, FW))
+    Kf = jnp.fft.rfft2(kt, s=(FH, FW))
+    full = jnp.fft.irfft2(Xf * Kf[None], s=(FH, FW))
+    out = full[:, :, ph : ph + H, pw : pw + W]
+    return jnp.transpose(out, (0, 2, 3, 1)).astype(in_dtype)
