@@ -108,6 +108,13 @@ class Config:
     compute_dtype: str = "float32"
     # device mesh: number of data-parallel shards (0 = all local devices).
     dp_shards: int = 0
+    # multi-host (SURVEY §2.7): initialize jax.distributed before building
+    # the mesh. Coordinator/process identity may be given explicitly or
+    # auto-detected from the TPU-pod environment.
+    multihost: bool = False
+    coordinator_address: str = ""
+    num_processes: int = 0
+    process_id: int = -1
     # seed (reference train.py:218 uses 117010053).
     seed: int = 117010053
     # use Pallas kernels for the hot ops (fused linear attention, large-

@@ -27,7 +27,7 @@ from typing import Dict, Optional
 import numpy as np
 
 from . import tof_sim
-from .geometry import ZoneGeometry, geometry_for
+from .geometry import ZoneGeometry, geometry_for, scales_from_rects
 
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
@@ -77,8 +77,19 @@ class NYUV2Dataset:
 
         rgb_path, depth_path = self._paths(idx)
         image = Image.open(rgb_path)
-        depth_gt = Image.open(depth_path)
         cfg = self.config
+        has_valid_depth = True
+        try:
+            depth_gt = Image.open(depth_path)
+        except (FileNotFoundError, OSError):
+            if self.mode == "train":
+                raise
+            # eval samples without GT are flagged and skipped downstream
+            # (reference train.py:179-181 guards on has_valid_depth; the
+            # reference NYU loader hardcodes True at nyu.py:145 and would
+            # crash here — we degrade gracefully instead)
+            has_valid_depth = False
+            depth_gt = Image.new("I", image.size)
 
         if self.mode == "train":
             # border crop to avoid registration artifacts (reference :118-119)
@@ -101,9 +112,12 @@ class NYUV2Dataset:
             img = np.asarray(image, dtype=np.float32) / 255.0
             dep = np.asarray(depth_gt, dtype=np.float32) / 1000.0
 
-        return finalize_sample(
+        sample = finalize_sample(
             img, dep, self.focal, cfg, self.mode, self.rng, simulate_hist=True
         )
+        if self.mode == "online_eval":
+            sample["has_valid_depth"] = np.bool_(has_valid_depth)
+        return sample
 
     def _random_crop(self, img, dep, h, w):
         y = int(self.rng.integers(0, img.shape[0] - h + 1))
@@ -127,7 +141,16 @@ class NYUV2Dataset:
 
 
 class ZJUL5Dataset:
-    """Real VL53L5CX captures; hist precomputed in h5 (eval only)."""
+    """Real VL53L5CX captures; hist precomputed in h5 (eval only).
+
+    Each h5 also carries ``fr`` — the real sensor's measured zone-to-pixel
+    rects, from which the reference derives its fusion geometry
+    (reference zjuL5.py:106,135). The rects are static per capture rig, so
+    they are read once, converted to per-scale ``ScaleGeometry``
+    (``scales_from_rects``), exposed as ``self.scale_geoms`` for the eval
+    driver, and every subsequent file is asserted to agree (the jitted graph
+    bakes the geometry in as compile-time constants).
+    """
 
     def __init__(self, config, mode: str = "online_eval"):
         assert mode == "online_eval"
@@ -136,6 +159,29 @@ class ZJUL5Dataset:
             self.sample_list = json.load(f)["test"]
         self.data_root = config.data_path_eval
         self.focal = float(ZJU_K[0])
+        self._fr = None
+        self.scale_geoms = None
+        if self.sample_list:
+            fr = self._subset_fr(self._read_fr(0))
+            self._fr = fr
+            self.scale_geoms = scales_from_rects(
+                fr, config.native_height, config.native_width
+            )
+
+    def _read_fr(self, idx) -> np.ndarray:
+        import h5py
+
+        entry = self.sample_list[idx]
+        fname = entry["filename"] if isinstance(entry, dict) else entry
+        with h5py.File(os.path.join(self.data_root, fname), "r") as f:
+            return np.asarray(f["fr"][:], dtype=np.float32)
+
+    def _subset_fr(self, fr: np.ndarray) -> np.ndarray:
+        _, fr, _ = tof_sim.apply_zone_subset(
+            np.zeros((len(fr), 2), np.float32), fr,
+            np.zeros((len(fr),), bool), self.config.zone_type,
+        )
+        return fr
 
     def __len__(self):
         return len(self.sample_list)
@@ -150,10 +196,15 @@ class ZJUL5Dataset:
             img = np.asarray(f["rgb"][:], dtype=np.float32) / 255.0
             dep = np.asarray(f["depth"][:], dtype=np.float32)
             fh = np.asarray(f["hist_data"][:], dtype=np.float32)
+            fr = np.asarray(f["fr"][:], dtype=np.float32)
             mask = np.asarray(f["mask"][:]).astype(bool)
-        fh, _, mask = tof_sim.apply_zone_subset(
-            fh, np.zeros((len(mask), 4), np.float32), mask, cfg.zone_type
-        )
+        fh, fr, mask = tof_sim.apply_zone_subset(fh, fr, mask, cfg.zone_type)
+        if self._fr is not None and not np.array_equal(fr, self._fr):
+            raise ValueError(
+                f"{fname}: zone rects differ from the dataset's first capture; "
+                "per-file geometry is not supported by the static-geometry "
+                "fusion path (split such captures into separate eval runs)"
+            )
         pts = tof_sim.sample_points(fh, mask, cfg.zone_sample_num, cfg.sample_uniform)
         return dict(
             image=normalize_image(img).astype(np.float32),

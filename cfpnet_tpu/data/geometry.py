@@ -180,6 +180,47 @@ class ZoneGeometry:
         return {cps: self.at_scale(cps) for cps in patch_sizes}
 
 
+def scales_from_rects(
+    fr: np.ndarray, img_h: int, img_w: int, patch_sizes=(4, 8, 16)
+) -> Dict[int, ScaleGeometry]:
+    """Per-scale geometry derived from measured zone rects (the ``fr``
+    tensor a real VL53L5CX capture ships in its h5 file).
+
+    Faithfully mirrors ``patch_info_from_rect_data`` (reference
+    src/utils/dataloader.py:13-40) followed by the per-batch reductions in
+    ``TransformerFusion.forward`` (reference fusion.py:71-84): min/max rect
+    bounds, max patch extent, trunc-toward-zero index division, int-truncated
+    pad magnitudes. The reference hardcodes the 480/640 clip bounds
+    (dataloader.py:21-23); here the actual image size is used — identical for
+    ZJUL5's 480x640 captures.
+    """
+    fr = np.asarray(fr, np.float64)
+    zn = int(round(math.sqrt(fr.shape[0])))
+    max_ph = int(np.max(fr[:, 2] - fr[:, 0]))  # .to(torch.int32) truncates
+    max_pw = int(np.max(fr[:, 3] - fr[:, 1]))
+    _pad_h = int(max(np.max(np.abs(np.clip(fr[:, 0], None, 0.0))),
+                     np.max(np.clip(fr[:, 2], img_h, None) - img_h)))
+    _pad_w = int(max(np.max(np.abs(np.clip(fr[:, 1], None, 0.0))),
+                     np.max(np.clip(fr[:, 3], img_w, None) - img_w)))
+    out = {}
+    for cps in patch_sizes:
+        out[cps] = ScaleGeometry(
+            conv_patch_size=cps,
+            zone_num=zn,
+            p1=math.ceil(max_ph / cps),
+            p2=math.ceil(max_pw / cps),
+            sy_wo=_trunc_div(float(np.min(fr[:, 0])), cps),
+            sx_wo=_trunc_div(float(np.min(fr[:, 1])), cps),
+            ey_wo=_trunc_div(float(np.max(fr[:, 2])), cps),
+            ex_wo=_trunc_div(float(np.max(fr[:, 3])), cps),
+            pad_h=math.ceil(_pad_h / cps),
+            pad_w=math.ceil(_pad_w / cps),
+            H=img_h // cps,
+            W=img_w // cps,
+        )
+    return out
+
+
 def geometry_for(config, mode: str, offset: Tuple[int, int] = (0, 0)) -> ZoneGeometry:
     """Build the ZoneGeometry for a Config + mode.
 

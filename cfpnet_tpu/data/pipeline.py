@@ -65,13 +65,23 @@ class DataLoader:
 
         def producer():
             try:
+                nproc = jax.process_count()
+                pid = jax.process_index()
                 for b in range(nb):
                     if stop.is_set():
                         return
                     lo = b * self.batch_size
                     chunk = order[lo : lo + self.batch_size]
+                    full = len(chunk) == self.batch_size
+                    if self.mesh is not None and full and nproc > 1:
+                        # multi-host: every process sees the same global
+                        # index order (same seed/epoch) and decodes ONLY its
+                        # contiguous shard; shard_batch assembles the global
+                        # array via make_array_from_process_local_data
+                        per = self.batch_size // nproc
+                        chunk = chunk[pid * per : (pid + 1) * per]
                     batch = collate([self.dataset[int(i)] for i in chunk])
-                    if self.mesh is not None and len(chunk) == self.batch_size:
+                    if self.mesh is not None and full:
                         batch = shard_batch(batch, self.mesh)
                     elif self.mesh is None:
                         batch = jax.device_put(batch)

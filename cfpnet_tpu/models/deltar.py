@@ -93,10 +93,14 @@ class Deltar(nn.Module):
         out = nn.Conv(self.n_bins, (1, 1), kernel_init=KINIT, name="conv_out")(
             range_attention_maps
         )
-        out = nn.softmax(out, axis=-1)
-
-        # depth reconstruction (reference deltar.py:53-61)
-        bin_widths = (self.max_val - self.min_val) * bin_widths_normed
+        # Depth reconstruction (reference deltar.py:53-61) always runs in
+        # f32: under a bf16 compute policy the 256-bin softmax + cumsum +
+        # weighted sum would random-walk the metric prediction by a few
+        # percent (tests/test_bf16.py pins the budget), and none of it is
+        # MXU work — the cast costs nothing.
+        rdt = jnp.promote_types(out.dtype, jnp.float32)
+        out = nn.softmax(out.astype(rdt), axis=-1)
+        bin_widths = (self.max_val - self.min_val) * bin_widths_normed.astype(rdt)
         bin_widths = jnp.pad(
             bin_widths, ((0, 0), (1, 0)), constant_values=self.min_val
         )

@@ -73,12 +73,18 @@ class TransformerFusion(nn.Module):
             jnp.float32,
         ).astype(x.dtype)
 
-        # random-crop offset of the 2D positional encoding (reference :88-96)
+        # random-crop offset of the 2D positional encoding (reference :88-96).
+        # The reference randomizes unconditionally; here eval callers that
+        # provide no 'fusion' RNG get a deterministic centered crop instead of
+        # a crash (sub-native-resolution eval has no reference precedent).
         if H < maxH or W < maxW:
-            rng = self.make_rng("fusion")
-            ky, kx = jax.random.split(rng)
-            off_y = jax.random.randint(ky, (), 0, maxH - H + 1) if H < maxH else 0
-            off_x = jax.random.randint(kx, (), 0, maxW - W + 1) if W < maxW else 0
+            if self.has_rng("fusion"):
+                rng = self.make_rng("fusion")
+                ky, kx = jax.random.split(rng)
+                off_y = jax.random.randint(ky, (), 0, maxH - H + 1) if H < maxH else 0
+                off_x = jax.random.randint(kx, (), 0, maxW - W + 1) if W < maxW else 0
+            else:
+                off_y, off_x = (maxH - H) // 2, (maxW - W) // 2
             pos_crop = jax.lax.dynamic_slice(
                 pos, (off_y, off_x, 0), (H, W, self.embedding_dim)
             )

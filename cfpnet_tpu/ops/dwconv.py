@@ -69,9 +69,11 @@ def _fft_depthwise(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     ph, pw = (kh - 1) // 2, (kw - 1) // 2
     FH, FW = H + kh - 1, W + kw - 1
     in_dtype = x.dtype
-    xt = jnp.transpose(x, (0, 3, 1, 2)).astype(jnp.float32)  # [B,C,H,W]
+    # upcast low precision to f32 for the transform; keep f64 if given
+    ct = jnp.promote_types(x.dtype, jnp.float32)
+    xt = jnp.transpose(x, (0, 3, 1, 2)).astype(ct)  # [B,C,H,W]
     # flip: correlation == convolution with a flipped kernel
-    kt = jnp.transpose(kernel[::-1, ::-1, 0, :], (2, 0, 1)).astype(jnp.float32)
+    kt = jnp.transpose(kernel[::-1, ::-1, 0, :], (2, 0, 1)).astype(ct)
     Xf = jnp.fft.rfft2(xt, s=(FH, FW))
     Kf = jnp.fft.rfft2(kt, s=(FH, FW))
     full = jnp.fft.irfft2(Xf * Kf[None], s=(FH, FW))

@@ -25,7 +25,7 @@ def _interp_matrix(in_size: int, out_size: int) -> np.ndarray:
     Matches torch align_corners=True: src coord = dst * (in-1)/(out-1);
     out==1 -> src 0.
     """
-    m = np.zeros((out_size, in_size), dtype=np.float32)
+    m = np.zeros((out_size, in_size), dtype=np.float64)
     if in_size == 1 or out_size == 1:
         m[:, 0] = 1.0
         return m
@@ -33,7 +33,7 @@ def _interp_matrix(in_size: int, out_size: int) -> np.ndarray:
     coord = np.arange(out_size, dtype=np.float64) * scale
     i0 = np.clip(np.floor(coord).astype(np.int64), 0, in_size - 1)
     i1 = np.minimum(i0 + 1, in_size - 1)
-    w1 = (coord - i0).astype(np.float32)
+    w1 = coord - i0
     rows = np.arange(out_size)
     m[rows, i0] += 1.0 - w1
     m[rows, i1] += w1

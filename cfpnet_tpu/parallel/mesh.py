@@ -22,6 +22,33 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_initialize_distributed(config) -> bool:
+    """Activate the multi-host runtime (SURVEY §2.7): one JAX process per
+    host, collectives over ICI within a slice and DCN across hosts.
+
+    Returns True when running multi-process. Controlled by ``--multihost``
+    plus either explicit ``--coordinator_address/--num_processes/
+    --process_id`` or the cluster env vars ``jax.distributed.initialize``
+    auto-detects on TPU pods. Idempotent."""
+    if not getattr(config, "multihost", False):
+        return False
+    import jax.distributed
+
+    kw = {}
+    if getattr(config, "coordinator_address", ""):
+        kw["coordinator_address"] = config.coordinator_address
+    if getattr(config, "num_processes", 0):
+        kw["num_processes"] = config.num_processes
+    if getattr(config, "process_id", -1) >= 0:
+        kw["process_id"] = config.process_id
+    try:
+        jax.distributed.initialize(**kw)
+    except RuntimeError as e:  # already initialized
+        if "already" not in str(e).lower():
+            raise
+    return jax.process_count() > 1
+
+
 def make_mesh(dp_shards: int = 0, devices=None, batch_size: Optional[int] = None) -> Mesh:
     """1-D data-parallel mesh over ``dp_shards`` devices (0 = all).
 

@@ -55,7 +55,11 @@ def evaluate(
     if steps is not None:
         eval_step, metric_step = steps
     else:
-        geoms = model_geometries(config, "online_eval")
+        # datasets carrying measured sensor geometry (ZJUL5 'fr' rects)
+        # override the configured zone grid (reference zjuL5.py:135)
+        geoms = getattr(getattr(loader, "dataset", None), "scale_geoms", None)
+        if geoms is None:
+            geoms = model_geometries(config, "online_eval")
         eval_step = make_eval_step(model, config, geoms, protocol=protocol)
         metric_step = make_metric_step(config)
     # checkpoint restores are host arrays; pin them on device once
@@ -66,6 +70,10 @@ def evaluate(
     for i, batch in enumerate(loader):
         if max_batches is not None and i >= max_batches:
             break
+        # skip samples without ground truth (reference train.py:179-181)
+        hvd = batch.get("has_valid_depth")
+        if hvd is not None and not bool(np.asarray(hvd).all()):
+            continue
         pred, _prob = eval_step(params, batch_stats, batch)
         m, n = metric_step(batch["depth"], pred)
         if int(n) > 0:
@@ -161,9 +169,14 @@ def run_training(config, tiny: bool = False, max_steps_per_epoch: Optional[int] 
             if step % 50 == 0:
                 logger.log(kind="train", epoch=epoch, step=step, loss=float(loss))
 
-        # per-epoch validation (reference train.py:137-156; validate_every=1
-        # in production configs)
-        if step % max(config.validate_every, 1) == 0 or config.validate_every <= 1:
+        # Per-epoch validation + checkpointing. The reference gates on
+        # ``step % validate_every`` (train.py:137), which silently skips
+        # validation AND checkpointing whenever steps-per-epoch isn't a
+        # divisor multiple; here ``validate_every`` is an epoch stride and
+        # the final epoch always validates, so no run ends checkpoint-less.
+        # Production configs use --validate_every 1 (every epoch) either way.
+        stride = max(int(config.validate_every), 1)
+        if (epoch + 1) % stride == 0 or epoch + 1 == config.epochs:
             metrics = evaluate(
                 model, config, state.params, state.batch_stats, eval_loader,
                 protocol="validate", tiny=tiny, steps=eval_steps,

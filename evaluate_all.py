@@ -47,6 +47,10 @@ def zju_overrides(config):
 
 def main():
     config = parse_config().replace(mode="online_eval")
+    if config.multihost:
+        from cfpnet_tpu.parallel.mesh import maybe_initialize_distributed
+
+        maybe_initialize_distributed(config)
     if "zjuL5" in config.test_dataset:
         config = zju_overrides(config)
     elif "synthetic" in config.test_dataset:

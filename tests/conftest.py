@@ -25,6 +25,11 @@ import numpy as np
 import pytest
 
 from cfpnet_tpu.config import Config
+from cfpnet_tpu.utils.cache import enable_compilation_cache
+
+# persistent XLA cache: the compile-heavy slow tests (full-size f64 parity,
+# train-step compiles) pay their multi-minute compile once per machine
+enable_compilation_cache()
 
 
 @pytest.fixture

@@ -137,7 +137,10 @@ def test_zjul5_h5(tmp_path, tiny_config):
         f["hist_data"] = np.stack(
             [rng.uniform(0.5, 3.5, 64), rng.uniform(0.05, 0.3, 64)], axis=1
         ).astype(np.float32)
-        f["fr"] = np.zeros((64, 4), np.float32)
+        # the real sensor's centered 8x8 grid of 56px zones
+        from cfpnet_tpu.data.geometry import ZoneGeometry
+
+        f["fr"] = ZoneGeometry(480, 640, 8, 56, 56).zone_rects()
         f["mask"] = np.ones(64, bool)
     (d / "data.json").write_text(json.dumps({"test": [{"filename": "cap0.h5"}]}))
     cfg = tiny_config.replace(

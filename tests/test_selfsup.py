@@ -100,6 +100,62 @@ def test_posenet_shapes():
     np.testing.assert_allclose(np.asarray(aa), 0.0, atol=1e-8)
 
 
+def test_pose_optimization_recovers_known_translation():
+    """Ground-truth-motion sanity for the whole differentiable chain
+    (VERDICT round-1 item 9): a source frame constructed from a KNOWN rigid
+    camera translation must be recovered by gradient descent on the pose
+    through warp_frame + photometric_loss — sign and scale, not just a loss
+    decrease."""
+    import optax
+
+    rng = np.random.default_rng(9)
+    # smooth texture so photometric gradients are informative; the blur
+    # kernel MUST include the center tap ([1,1,1]/3-style) — a [1,0,1]/2
+    # kernel has |gain|=1 at the 2px period and makes the loss periodic
+    tex = rng.random((1, 64, 80, 3)).astype(np.float32)
+    for _ in range(8):
+        tex = (tex + np.roll(tex, 1, 1) + np.roll(tex, -1, 1)
+               + np.roll(tex, 1, 2) + np.roll(tex, -1, 2)) / 5.0
+    tex = (tex - tex.min()) / (tex.max() - tex.min())
+    target = jnp.asarray(tex)
+    z, fx = 2.0, 40.0
+    depth = jnp.full((1, 64, 80, 1), z)
+    K = jnp.asarray(np.array([[[fx, 0, 40], [0, fx, 32], [0, 0, 1]]], np.float32))
+    K_inv = jnp.asarray(np.linalg.inv(np.asarray(K)))
+    tx_true = 0.15  # pixel shift = fx*tx/z = 3 px
+    shift = int(fx * tx_true / z)
+    # warp with T(tx) samples src at x+shift, so src = target rolled +shift
+    src = jnp.asarray(np.roll(tex, shift, axis=2))
+
+    def loss_fn(t):
+        T = pose_to_transform(jnp.zeros((1, 3)), t[None])
+        warped, valid = warp_frame(src, depth, K, K_inv, T)
+        err = photometric_loss(warped, target) * valid
+        return err.sum() / (valid.sum() + 1e-6)
+
+    ident = float(loss_fn(jnp.zeros(3)))
+    opt = optax.adam(2e-2)
+    t = jnp.zeros(3)
+    opt_state = opt.init(t)
+
+    @jax.jit
+    def update(t, opt_state):
+        l, g = jax.value_and_grad(loss_fn)(t)
+        up, opt_state = opt.update(g, opt_state)
+        return optax.apply_updates(t, up), opt_state, l
+
+    for _ in range(300):
+        t, opt_state, l = update(t, opt_state)
+    final = float(l)
+    t = np.asarray(t)
+    # observed: ratio 6e-4, t = [0.1500, -0.001, 0.000]
+    assert final < 0.05 * ident, (final, ident)
+    # sign and scale of the x-translation, other axes near zero
+    assert t[0] > 0, t
+    assert abs(t[0] - tx_true) < 0.1 * tx_true, (t, tx_true)
+    assert abs(t[1]) < 0.1 * tx_true and abs(t[2]) < 0.1 * tx_true, t
+
+
 @pytest.mark.slow
 def test_selfsup_train_step(tiny_config):
     from cfpnet_tpu.data.datasets import SyntheticPairDataset

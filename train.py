@@ -28,6 +28,10 @@ def set_seeds(seed: int):
 
 if __name__ == "__main__":
     config = parse_config().replace(mode="train")
+    if config.multihost:
+        from cfpnet_tpu.parallel.mesh import maybe_initialize_distributed
+
+        maybe_initialize_distributed(config)
     set_seeds(config.seed)  # reference train.py:218 (seed 117010053)
     if config.debug_nans:
         import jax
