@@ -1,10 +1,16 @@
 """Runtime op dispatch: XLA reference paths vs Pallas kernels.
 
-The XLA einsum formulation already runs the full model at ~1 ms/frame on a
-v5e chip (28x the assumed reference-GPU baseline), and the axon tunnel makes
-sub-ms microbenchmarks unreliable, so the Pallas kernels default OFF; they
-are numerically equivalence-tested (tests/test_pallas_*.py) and can be
-enabled per-process (``set_use_pallas(True)`` / ``--use_pallas``).
+The Pallas kernels default OFF, with the margin MEASURED end-to-end on the
+v5e (chained host-forced protocol, round 2): full model with
+``--use_pallas`` runs 16.2 ms bs=1 / 72 fps bs=8 vs 6.3 ms / 217 fps on the
+XLA paths — the shifted-accumulate dwconv kernel (6.8 ms for k=31
+@120x160x32) cannot beat the linear FFT convolution (0.94 ms), and the
+fused attention kernel is limited by C=32 channels occupying 32 of 128
+lanes plus a scoped-VMEM staging quirk of this stack for batched calls
+(see ops/pallas_attention.py). Both kernels stay equivalence-tested
+(tests/test_pallas_*.py) and per-process switchable
+(``set_use_pallas(True)`` / ``--use_pallas``) as the fallback path for
+stacks where the XLA FFT lowering regresses.
 """
 
 from __future__ import annotations

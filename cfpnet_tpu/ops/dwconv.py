@@ -63,7 +63,13 @@ def depthwise_conv2d(
 
 
 def _fft_depthwise(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
-    """Linear FFT convolution equal to the SAME-padded correlation above."""
+    """Linear FFT convolution equal to the SAME-padded correlation above.
+
+    Transform length is exactly H+k-1: rounding up to 5-smooth sizes
+    (150x190 -> 150x192 etc.) was tried and MEASURED SLOWER end-to-end on
+    the v5e (bs=1 6.38 -> 7.17 ms, bs=8 218 -> 175 fps) — XLA:TPU's FFT
+    cost tracks transform size, not radix smoothness. Don't "optimize" this.
+    """
     B, H, W, C = x.shape
     kh, kw = kernel.shape[0], kernel.shape[1]
     ph, pw = (kh - 1) // 2, (kw - 1) // 2

@@ -62,12 +62,14 @@ def _elu1(x):
 
 
 def _kernel(q_ref, k_ref, v_ref, m_ref, out_ref, *, S: int, eps: float):
-    Q = q_ref[0]
+    Q = q_ref[0]  # [TL, C] query tile
     K = k_ref[0]
     V = v_ref[0]
     M = m_ref[:]
     Qf = _elu1(Q)
     Kf = _elu1(K)
+    # KV/ksum are recomputed per query tile (S*C*C MACs — negligible); the
+    # K/V blocks are revisited across tiles so Mosaic keeps them resident
     KV = jax.lax.dot_general(
         Kf, V / S, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ) * M
@@ -86,6 +88,23 @@ def _kernel(q_ref, k_ref, v_ref, m_ref, out_ref, *, S: int, eps: float):
     out_ref[0] = (num * S / den).astype(out_ref.dtype)
 
 
+def _l_tile(L: int, target: int = 2048) -> int:
+    """Largest divisor of L <= target (queries are independent, so the L
+    axis tiles freely — without this, batched calls scope the full [N,L,C]
+    result in VMEM and OOM the 16M scoped limit at bs=8)."""
+    if L <= target:
+        return L
+    best = 1
+    d = 1
+    while d * d <= L:
+        if L % d == 0:
+            for c in (d, L // d):
+                if c <= target:
+                    best = max(best, c)
+        d += 1
+    return best
+
+
 @functools.partial(jax.jit, static_argnames=("nhead", "eps", "interpret"))
 def linear_attention_pallas(q, k, v, nhead: int, eps: float = 1e-6,
                             interpret: bool = False):
@@ -96,20 +115,30 @@ def linear_attention_pallas(q, k, v, nhead: int, eps: float = 1e-6,
     N, L, C = q.shape
     S = k.shape[1]
     M = _head_masks(C, nhead, q.dtype)
+    TL = _l_tile(L)
 
     return pl.pallas_call(
         functools.partial(_kernel, S=S, eps=eps),
         out_shape=jax.ShapeDtypeStruct((N, L, C), q.dtype),
-        grid=(N,),
+        grid=(N, L // TL),
         in_specs=[
-            pl.BlockSpec((1, L, C), lambda n: (n, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, C), lambda n: (n, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, C), lambda n: (n, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, C), lambda n: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TL, C), lambda n, t: (n, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, C), lambda n, t: (n, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, C), lambda n, t: (n, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, L, C), lambda n: (n, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, TL, C), lambda n, t: (n, t, 0),
+                               memory_space=pltpu.VMEM),
         interpret=interpret,
     )(q, k, v, M)
+
+
+# XLA:TPU on this stack stages the custom-call result on the scoped-VMEM
+# stack (16 MiB limit) with lane padding to 128 — large batched calls
+# (bs=8 cross-zone: [8,19200,32] -> 78 MiB padded) fail to COMPILE, not run.
+# Guard: padded residency must fit comfortably; larger shapes take the XLA
+# block-diagonal path (same math).
+_SCOPED_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
 
 
 def linear_attention_auto(q, k, v, nhead: int, eps: float = 1e-6,
@@ -122,7 +151,8 @@ def linear_attention_auto(q, k, v, nhead: int, eps: float = 1e-6,
     kc = k.reshape(N, S, H * D)
     vc = v.reshape(N, S, H * D)
     on_tpu = jax.default_backend() == "tpu"
-    if use_pallas and on_tpu:
+    padded_bytes = N * L * max(H * D, 128) * 4
+    if use_pallas and on_tpu and padded_bytes <= _SCOPED_VMEM_BUDGET_BYTES:
         out = linear_attention_pallas(qc, kc, vc, nhead=H, eps=eps)
     else:
         out = linear_attention_blockdiag(qc, kc, vc, nhead=H, eps=eps)

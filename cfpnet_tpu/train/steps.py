@@ -33,20 +33,46 @@ def make_train_step(model, config, geoms):
     """Returns jitted ``(state, batch, rng) -> (state, loss)``.
 
     batch: image [B,H,W,3], depth [B,H,W,1], hist_data [B,Z,n], mask [B,Z].
+
+    Mixed precision (``--compute_dtype bfloat16``): the forward/backward
+    runs in bf16 while master params, optimizer state, BN statistics and
+    the loss stay f32 (grads arrive f32 through the cast, and the model's
+    depth-reconstruction tail is pinned to f32 internally).
     """
+    cdt = jnp.dtype(getattr(config, "compute_dtype", "float32"))
+
+    def cast_tree(tree):
+        if cdt == jnp.float32:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(cdt)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            tree,
+        )
+
+    def cast_back(tree):
+        if cdt == jnp.float32:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            tree,
+        )
 
     def train_step(state: TrainState, batch: Dict, rng):
         def loss_fn(params):
             (bin_edges, pred), updates = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch["image"],
-                batch["hist_data"],
+                {"params": cast_tree(params),
+                 "batch_stats": cast_tree(state.batch_stats)},
+                batch["image"].astype(cdt),
+                batch["hist_data"].astype(cdt),
                 batch["mask"],
                 geoms,
                 train=True,
                 rngs={"fusion": rng},
                 mutable=["batch_stats"],
             )
+            updates = {"batch_stats": cast_back(updates["batch_stats"])}
             # reference train.py:121-123: clip pred at min_depth, mask gt
             pred = jnp.clip(pred, config.min_depth, None)
             dmask = batch["depth"] > config.min_depth

