@@ -106,6 +106,10 @@ class Config:
     native_width: int = 640
     # computational dtype for the jitted forward ("float32" | "bfloat16").
     compute_dtype: str = "float32"
+    # evaluation batch size (metrics stay per-image, so any value reproduces
+    # the reference's bs=1 image-weighted protocol; >1 batches the forward
+    # onto the MXU for a faster 654-image sweep).
+    eval_bs: int = 1
     # device mesh: number of data-parallel shards (0 = all local devices).
     dp_shards: int = 0
     # multi-host (SURVEY §2.7): initialize jax.distributed before building

@@ -43,6 +43,16 @@ def normalize_image(img: np.ndarray) -> np.ndarray:
     return (img - IMAGENET_MEAN) / IMAGENET_STD
 
 
+def sample_image_f32(sample) -> np.ndarray:
+    """Normalized f32 image from a sample carrying either ``image``
+    (train: normalized f32) or ``image_u8`` (eval: raw uint8 — shipped
+    compact and normalized on device, see ``make_eval_step``)."""
+    if "image" in sample:
+        return np.asarray(sample["image"], np.float32)
+    u8 = np.asarray(sample["image_u8"], np.float32) / 255.0
+    return normalize_image(u8).astype(np.float32)
+
+
 class NYUV2Dataset:
     """NYUv2 depth-completion dataset with simulated ToF zone histograms."""
 
@@ -193,7 +203,7 @@ class ZJUL5Dataset:
         fname = entry["filename"] if isinstance(entry, dict) else entry
         cfg = self.config
         with h5py.File(os.path.join(self.data_root, fname), "r") as f:
-            img = np.asarray(f["rgb"][:], dtype=np.float32) / 255.0
+            img_u8 = np.asarray(f["rgb"][:], dtype=np.uint8)
             dep = np.asarray(f["depth"][:], dtype=np.float32)
             fh = np.asarray(f["hist_data"][:], dtype=np.float32)
             fr = np.asarray(f["fr"][:], dtype=np.float32)
@@ -207,7 +217,7 @@ class ZJUL5Dataset:
             )
         pts = tof_sim.sample_points(fh, mask, cfg.zone_sample_num, cfg.sample_uniform)
         return dict(
-            image=normalize_image(img).astype(np.float32),
+            image_u8=img_u8,  # normalized on device (see finalize_sample note)
             depth=dep[..., None] if dep.ndim == 2 else dep,
             hist_data=pts,
             mask=mask,
@@ -259,7 +269,14 @@ def finalize_sample(
     simulate_hist: bool = True,
     offset=(0, 0),
 ) -> Dict[str, np.ndarray]:
-    """Shared tail: normalize, ToF-simulate, augment, sample points."""
+    """Shared tail: normalize, ToF-simulate, augment, sample points.
+
+    Eval samples ship the image as RAW uint8 (``image_u8``) and the
+    ImageNet normalize runs on device inside the eval step — 4x less
+    host->device traffic per frame, and numerically exact for uint8-sourced
+    data (jpg/h5). Train samples stay normalized f32 (``image``): the
+    photometric augmentation produces non-integer values that uint8 would
+    quantize."""
     geom = geometry_for(cfg, mode, offset)
     max_d = cfg.simu_max_distance
     if cfg.random_simu_max_d and mode == "train":
@@ -274,13 +291,17 @@ def finalize_sample(
     if cfg.zone_type != f"{geom.zone_num}x{geom.zone_num}":
         fh, fr, mask = tof_sim.apply_zone_subset(fh, fr, mask, cfg.zone_type)
     pts = tof_sim.sample_points(fh, mask, cfg.zone_sample_num, cfg.sample_uniform)
-    return dict(
-        image=normalize_image(img).astype(np.float32),
+    out = dict(
         depth=dep[..., None].astype(np.float32),
         hist_data=pts,
         mask=mask,
         focal=np.float32(focal),
     )
+    if mode == "train":
+        out["image"] = normalize_image(img).astype(np.float32)
+    else:
+        out["image_u8"] = np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)
+    return out
 
 
 class SyntheticPairDataset:

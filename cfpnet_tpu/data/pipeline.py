@@ -118,4 +118,5 @@ def make_loader(config, mode: str, mesh=None, dataset=None) -> DataLoader:
             dataset, config.bs, shuffle=True, drop_last=True, seed=config.seed,
             mesh=mesh,
         )
-    return DataLoader(dataset, 1, shuffle=False, drop_last=False)
+    return DataLoader(dataset, max(1, getattr(config, "eval_bs", 1)),
+                      shuffle=False, drop_last=False)

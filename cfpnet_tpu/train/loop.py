@@ -48,7 +48,13 @@ def evaluate(
     model, config, params, batch_stats, loader, protocol: str = "validate",
     max_batches: Optional[int] = None, tiny: bool = False, steps=None,
 ) -> Dict[str, float]:
-    """Full metric sweep over an eval loader (bs=1, native resolution).
+    """Full metric sweep over an eval loader at native resolution.
+
+    Metrics are computed PER IMAGE and streamed through RunningAverageDict —
+    identical to the reference's bs=1 protocol at any ``--eval_bs`` (the
+    reference is locked to bs=1 by DataParallel, evaluate_all.py:95). A
+    ragged final batch is padded by repeating the last sample (one compiled
+    shape) and the pad images are excluded from the averages.
 
     Pass ``steps=(eval_step, metric_step)`` to reuse jitted steps across
     epochs (a fresh make_eval_step per call would re-trace every epoch)."""
@@ -66,18 +72,37 @@ def evaluate(
     params = jax.device_put(params)
     if batch_stats is not None:
         batch_stats = jax.device_put(batch_stats)
+    eval_bs = getattr(loader, "batch_size", 1)
     metrics = RunningAverageDict()
     for i, batch in enumerate(loader):
         if max_batches is not None and i >= max_batches:
             break
-        # skip samples without ground truth (reference train.py:179-181)
-        hvd = batch.get("has_valid_depth")
-        if hvd is not None and not bool(np.asarray(hvd).all()):
-            continue
+        hvd = batch.pop("has_valid_depth", None)
+        img_key = "image_u8" if "image_u8" in batch else "image"
+        n_real = int(batch[img_key].shape[0])  # shape read — no transfer
+        if n_real < eval_bs:  # pad the ragged tail to the compiled shape
+            pad = eval_bs - n_real
+            batch = {
+                k: np.concatenate(
+                    [np.asarray(v)] + [np.asarray(v)[-1:]] * pad, axis=0
+                )
+                for k, v in batch.items()
+            }
         pred, _prob = eval_step(params, batch_stats, batch)
         m, n = metric_step(batch["depth"], pred)
-        if int(n) > 0:
-            metrics.update({k: float(v) for k, v in m.items()})
+        # ONE device->host sync per batch: each float()/np.asarray is a
+        # full round trip over the (high-latency) device link, and ~10 of
+        # them per image made the eval loop RTT-bound (~0.8 s/frame here)
+        m, n, hvd = jax.device_get((m, n, hvd))
+        m = {k: np.asarray(v).reshape(-1) for k, v in m.items()}
+        n = np.asarray(n).reshape(-1)
+        hvd = None if hvd is None else np.asarray(hvd).reshape(-1)
+        for j in range(n_real):
+            # skip samples without ground truth (reference train.py:179-181)
+            if hvd is not None and not bool(hvd[j]):
+                continue
+            if int(n[j]) > 0:
+                metrics.update({k: float(v[j]) for k, v in m.items()})
     return metrics.get_value() or {}
 
 

@@ -29,6 +29,24 @@ class TrainState(train_state.TrainState):
     batch_stats: Any = None
 
 
+# ImageNet statistics (reference nyu.py:266-288 / zjuL5.py:211)
+IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
+IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+
+
+def eval_batch_image(batch: Dict) -> jnp.ndarray:
+    """Normalized f32 image from an eval batch.
+
+    Eval samples ship ``image_u8`` (raw uint8 — 4x less host->device
+    traffic than normalized f32; bit-exact for uint8-sourced data) and the
+    ImageNet normalize fuses into the jitted forward here. Train-style
+    batches carrying a pre-normalized ``image`` pass through unchanged."""
+    if "image_u8" in batch:
+        img = batch["image_u8"].astype(jnp.float32) / 255.0
+        return (img - IMAGENET_MEAN) / IMAGENET_STD
+    return batch["image"]
+
+
 def make_train_step(model, config, geoms):
     """Returns jitted ``(state, batch, rng) -> (state, loss)``.
 
@@ -103,15 +121,16 @@ def make_eval_step(model, config, geoms, protocol: str = "evaluate_all"):
         variables = {"params": params}
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats
+        image = eval_batch_image(batch)
         bin_edges, pred, prob, _ = model.apply(
             variables,
-            batch["image"],
+            image,
             batch["hist_data"],
             batch["mask"],
             geoms,
             train=False,
         )
-        H, W = batch["image"].shape[1], batch["image"].shape[2]
+        H, W = image.shape[1], image.shape[2]
         if protocol == "evaluate_all":
             pred = jnp.clip(pred, config.min_depth, config.max_depth)
             pred = resize_bilinear_align_corners(pred, H, W)
@@ -126,13 +145,18 @@ def make_eval_step(model, config, geoms, protocol: str = "evaluate_all"):
 
 
 def make_metric_step(config):
-    """Jitted per-image metric computation (masked, shape-static)."""
+    """Jitted PER-IMAGE metric computation (masked, shape-static).
 
-    def metric_step(gt, pred):
+    Returns ``(metrics_dict_of_[B], valid_counts_[B])`` — vmapped over the
+    batch axis so batched evaluation (``--eval_bs``) keeps the reference's
+    image-weighted averaging exactly (reference streams one image at a time
+    through RunningAverageDict, evaluate_all.py:80-84)."""
+
+    def one_image(gt, pred):
         valid = (gt > config.min_depth_eval) & (gt < config.max_depth_eval)
         return compute_errors(gt, pred, valid), valid.sum()
 
-    return jax.jit(metric_step)
+    return jax.jit(jax.vmap(one_image))
 
 
 def create_train_state(model, config, rng, sample_batch, geoms, tx) -> TrainState:

@@ -58,7 +58,13 @@ def timed_forward(config, tiny: bool = False, niters: int = 500, params=None,
         sample = ds[0]
     batch = collate([sample] * batch_size)
     dtype = jnp.dtype(compute_dtype or config.compute_dtype)
-    image = jnp.asarray(batch["image"], dtype)
+    from cfpnet_tpu.data.datasets import sample_image_f32
+
+    # normalize on host here: the timed graph stays identical across
+    # datasets (eval samples ship raw uint8 + on-device normalize — see
+    # train/steps.py::eval_batch_image — but the normalize is noise at
+    # these granularities and this keeps cross-round comparability)
+    image = jnp.asarray(sample_image_f32(batch), dtype)
     hist = jnp.asarray(batch["hist_data"], dtype)
     mask = jnp.asarray(batch["mask"])
 

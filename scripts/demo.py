@@ -61,7 +61,9 @@ def main():
 
     model = make_model(cfg, tiny=args.tiny)
     geoms = model_geometries(cfg, "online_eval")
-    image = jnp.asarray(sample["image"][None])
+    from cfpnet_tpu.data.datasets import sample_image_f32
+
+    image = jnp.asarray(sample_image_f32(sample)[None])
     hist = jnp.asarray(sample["hist_data"][None])
     mask = jnp.asarray(sample["mask"][None])
 

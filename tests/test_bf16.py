@@ -84,8 +84,10 @@ def test_full_forward_bf16_close_to_f32(tiny_config):
     cfg = tiny_config
     model = make_model(cfg, tiny=True)
     geoms = model_geometries(cfg, "online_eval")
+    from cfpnet_tpu.data.datasets import sample_image_f32
+
     s = SyntheticDataset(cfg, "online_eval", length=1)[0]
-    img = jnp.asarray(s["image"][None])
+    img = jnp.asarray(sample_image_f32(s)[None])
     hist = jnp.asarray(s["hist_data"][None])
     mask = jnp.asarray(s["mask"][None])
     variables = jax.jit(

@@ -35,7 +35,15 @@ def test_synthetic_sample_shapes(tiny_config):
 def test_synthetic_eval_native_res(tiny_config):
     ds = SyntheticDataset(tiny_config, "online_eval", length=2)
     s = ds[0]
-    assert s["image"].shape == (tiny_config.native_height, tiny_config.native_width, 3)
+    # eval samples ship raw uint8 (normalized on device — steps.py)
+    assert s["image_u8"].shape == (
+        tiny_config.native_height, tiny_config.native_width, 3
+    )
+    assert s["image_u8"].dtype == np.uint8
+    from cfpnet_tpu.data.datasets import sample_image_f32
+
+    f32 = sample_image_f32(s)
+    assert f32.dtype == np.float32 and f32.shape == s["image_u8"].shape
 
 
 def test_dataloader_batching(tiny_config):
@@ -118,11 +126,19 @@ def test_nyu_train_path(fake_nyu):
 def test_nyu_eval_path(fake_nyu):
     ds = NYUV2Dataset(fake_nyu, "online_eval")
     s = ds[1]
-    assert s["image"].shape == (480, 640, 3)
+    assert s["image_u8"].shape == (480, 640, 3)
+    assert s["image_u8"].dtype == np.uint8
     assert s["hist_data"].shape == (64, 16)
-    # un-normalize check: a uniform-random image has mean ~0.5 pre-normalize
-    img = s["image"] * IMAGENET_STD + IMAGENET_MEAN
-    assert 0.4 < img.mean() < 0.6
+    # a uniform-random source image has mean ~127
+    assert 100 < s["image_u8"].mean() < 155
+    # the on-device normalize path reproduces the host normalize exactly
+    from cfpnet_tpu.data.datasets import normalize_image, sample_image_f32
+
+    np.testing.assert_allclose(
+        sample_image_f32(s),
+        normalize_image(s["image_u8"].astype(np.float32) / 255.0),
+        rtol=1e-6,
+    )
 
 
 def test_zjul5_h5(tmp_path, tiny_config):
@@ -149,7 +165,7 @@ def test_zjul5_h5(tmp_path, tiny_config):
     )
     ds = ZJUL5Dataset(cfg)
     s = ds[0]
-    assert s["image"].shape == (480, 640, 3)
+    assert s["image_u8"].shape == (480, 640, 3)
     assert s["hist_data"].shape == (64, 16)
     assert s["mask"].all()
     # zone ablation: central 4x4

@@ -49,6 +49,8 @@ def test_eval_skips_has_valid_depth_false(tiny_config):
     model = make_model(cfg, tiny=True)
     ds = SyntheticDataset(cfg, "online_eval", length=2)
     geoms = model_geometries(cfg, "online_eval")
+    from cfpnet_tpu.data.datasets import sample_image_f32
+
     sample = ds[0]
     variables = jax.jit(
         lambda r, img, hist, mask: model.init(
@@ -56,7 +58,7 @@ def test_eval_skips_has_valid_depth_false(tiny_config):
         )
     )(
         jax.random.key(0),
-        sample["image"][None],
+        sample_image_f32(sample)[None],
         sample["hist_data"][None],
         sample["mask"][None],
     )
@@ -74,6 +76,36 @@ def test_eval_skips_has_valid_depth_false(tiny_config):
     )
     m_only0 = evaluate(model, cfg, params, stats, loader_only0)
     assert m_skip["rmse"] == pytest.approx(m_only0["rmse"], rel=1e-6)
+
+
+@pytest.mark.slow
+def test_batched_eval_matches_bs1(tiny_config):
+    """--eval_bs N must reproduce the reference's bs=1 image-weighted
+    metrics exactly (per-image vmap + ragged-tail padding), including the
+    per-image has_valid_depth skip."""
+    from cfpnet_tpu.train.loop import evaluate
+
+    cfg = tiny_config.replace(dataset_eval="synthetic")
+    model = make_model(cfg, tiny=True)
+    ds = SyntheticDataset(cfg, "online_eval", length=5)  # 5 % 2 != 0: ragged
+    geoms = model_geometries(cfg, "online_eval")
+    from cfpnet_tpu.data.datasets import sample_image_f32
+
+    s = ds[0]
+    variables = jax.jit(
+        lambda r: model.init({"params": r, "fusion": r},
+                             sample_image_f32(s)[None],
+                             s["hist_data"][None], s["mask"][None], geoms,
+                             train=False)
+    )(jax.random.key(0))
+    params, stats = variables["params"], variables.get("batch_stats")
+
+    wrapped = FlaggedDataset(ds, invalid={3})
+    m1 = evaluate(model, cfg, params, stats, DataLoader(wrapped, batch_size=1))
+    m2 = evaluate(model, cfg, params, stats, DataLoader(wrapped, batch_size=2))
+    assert set(m1) == set(m2)
+    for k in m1:
+        assert m1[k] == pytest.approx(m2[k], rel=1e-5), k
 
 
 @pytest.mark.slow
@@ -151,4 +183,4 @@ def test_nyu_eval_missing_depth_flagged(tmp_path, tiny_config):
     assert bool(ds[0]["has_valid_depth"]) is True
     s1 = ds[1]
     assert bool(s1["has_valid_depth"]) is False
-    assert s1["image"].shape == (480, 640, 3)  # still a well-formed sample
+    assert s1["image_u8"].shape == (480, 640, 3)  # still a well-formed sample
