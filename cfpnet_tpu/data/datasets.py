@@ -109,14 +109,19 @@ class NYUV2Dataset:
                 angle = float((self.rng.random() - 0.5) * 2 * cfg.degree)
                 image = image.rotate(angle, resample=Image.BILINEAR)
                 depth_gt = depth_gt.rotate(angle, resample=Image.NEAREST)
-            img = np.asarray(image, dtype=np.float32) / 255.0
+            # stay uint8 through the crop: PIL's rotate outputs uint8, so
+            # the u8 crop is the exact source of the f32/255 values
+            img_u8 = np.asarray(image, dtype=np.uint8)
             dep = np.asarray(depth_gt, dtype=np.float32) / 1000.0
-            img, dep = self._random_crop(img, dep, cfg.input_height, cfg.input_width)
+            img_u8, dep = self._random_crop(img_u8, dep,
+                                            cfg.input_height, cfg.input_width)
             if cfg.device_pipeline:
                 # the fused on-device pipeline handles flip/photometric/
-                # normalize/ToF — ship raw crops only
-                return dict(image_raw=img.astype(np.float32),
+                # normalize/ToF — ship raw uint8 crops (4x less host->device
+                # traffic; device_preprocess converts on device)
+                return dict(image_raw=img_u8,
                             depth=dep[..., None].astype(np.float32))
+            img = img_u8.astype(np.float32) / 255.0
             img, dep = self._train_preprocess(img, dep)
         else:
             img = np.asarray(image, dtype=np.float32) / 255.0

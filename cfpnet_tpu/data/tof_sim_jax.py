@@ -159,7 +159,13 @@ def device_preprocess(
     train: bool = True,
 ):
     """Fused on-device tail of the data pipeline: flip + photometric aug +
-    normalize + ToF sim + hist aug + point sampling, one XLA program."""
+    normalize + ToF sim + hist aug + point sampling, one XLA program.
+
+    ``img`` may arrive as uint8 (the NYU loader ships raw crops — the
+    source data is uint8 even after the PIL rotate, so this is exact and
+    4x less host->device traffic) or as f32 in 0..1."""
+    if img.dtype == jnp.uint8:
+        img = img.astype(jnp.float32) / 255.0
     k_flip, k_phot, k_hist = jax.random.split(rng, 3)
     if train:
         B = img.shape[0]

@@ -44,6 +44,18 @@ class JsonlLogger:
             self.f.close()
 
 
+def make_eval_steps(model, config, loader, protocol: str = "validate"):
+    """(eval_step, metric_step) for a loader — datasets carrying measured
+    sensor geometry (ZJUL5 'fr' rects) override the configured zone grid
+    (reference zjuL5.py:135). Build ONCE and pass to repeated ``evaluate``
+    calls: each fresh jit closure re-traces the full model (seconds)."""
+    geoms = getattr(getattr(loader, "dataset", None), "scale_geoms", None)
+    if geoms is None:
+        geoms = model_geometries(config, "online_eval")
+    return (make_eval_step(model, config, geoms, protocol=protocol),
+            make_metric_step(config))
+
+
 def evaluate(
     model, config, params, batch_stats, loader, protocol: str = "validate",
     max_batches: Optional[int] = None, tiny: bool = False, steps=None,
@@ -61,13 +73,7 @@ def evaluate(
     if steps is not None:
         eval_step, metric_step = steps
     else:
-        # datasets carrying measured sensor geometry (ZJUL5 'fr' rects)
-        # override the configured zone grid (reference zjuL5.py:135)
-        geoms = getattr(getattr(loader, "dataset", None), "scale_geoms", None)
-        if geoms is None:
-            geoms = model_geometries(config, "online_eval")
-        eval_step = make_eval_step(model, config, geoms, protocol=protocol)
-        metric_step = make_metric_step(config)
+        eval_step, metric_step = make_eval_steps(model, config, loader, protocol)
     # checkpoint restores are host arrays; pin them on device once
     params = jax.device_put(params)
     if batch_stats is not None:

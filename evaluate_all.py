@@ -19,7 +19,7 @@ from cfpnet_tpu.config import parse_config
 from cfpnet_tpu.data.pipeline import make_loader
 from cfpnet_tpu.models.deltar import make_model
 from cfpnet_tpu.train.checkpoint import load_weights
-from cfpnet_tpu.train.loop import evaluate
+from cfpnet_tpu.train.loop import evaluate, make_eval_steps
 
 from cfpnet_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
@@ -60,6 +60,8 @@ def main():
 
     model = make_model(config)
     loader = make_loader(config, "online_eval")
+    # one traced/jitted step pair for the whole epoch sweep
+    steps = make_eval_steps(model, config, loader, protocol="evaluate_all")
 
     rows = []
     weights_dir = os.path.join("weights", config.name)
@@ -77,7 +79,7 @@ def main():
         payload = load_weights(weight_path)
         results = evaluate(
             model, config, payload["params"], payload.get("batch_stats"), loader,
-            protocol="evaluate_all",
+            protocol="evaluate_all", steps=steps,
         )
         results = {k: round(v, 3) for k, v in results.items()}
         print(f"Metrics: {results}")

@@ -47,7 +47,6 @@ def timed_forward(config, tiny: bool = False, niters: int = 500, params=None,
 
     set_use_pallas(config.use_pallas)
     model = make_model(config, tiny=tiny)
-    geoms = model_geometries(config, "online_eval")
 
     # one eval batch — real dataset if present, else synthetic
     try:
@@ -56,6 +55,10 @@ def timed_forward(config, tiny: bool = False, niters: int = 500, params=None,
     except (FileNotFoundError, NotImplementedError, KeyError):
         ds = SyntheticDataset(config, "online_eval")
         sample = ds[0]
+    # measured sensor geometry (ZJUL5 fr rects) overrides the config grid
+    geoms = getattr(ds, "scale_geoms", None)
+    if geoms is None:
+        geoms = model_geometries(config, "online_eval")
     batch = collate([sample] * batch_size)
     dtype = jnp.dtype(compute_dtype or config.compute_dtype)
     from cfpnet_tpu.data.datasets import sample_image_f32

@@ -220,7 +220,10 @@ def install_reference_stubs(config, stem_chs=None, stages=None):
     from cfpnet_tpu.models.efficientnetv2 import V2_B3_STAGES, V2_B3_STEM
 
     if REFERENCE_ROOT not in sys.path:
-        sys.path.insert(0, REFERENCE_ROOT)
+        # APPEND, never insert(0): the reference root also contains top-level
+        # modules named evaluate_all/train/evaluate_time that would shadow
+        # this repo's drivers for any later in-process import
+        sys.path.append(REFERENCE_ROOT)
     for name, mod in _timm_stub(stem_chs or V2_B3_STEM,
                                 stages or V2_B3_STAGES).items():
         if name not in sys.modules:

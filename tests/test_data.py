@@ -190,6 +190,35 @@ def test_nyu_pair_dataset(fake_nyu):
     assert 0.0 <= s["image_raw"].min() and s["image_raw"].max() <= 1.0
 
 
+def test_nyu_device_pipeline_ships_uint8(fake_nyu):
+    """With --device_pipeline the NYU loader ships raw uint8 crops (4x less
+    host->device traffic) and device_preprocess reproduces the f32 path
+    exactly (the u8 crop IS the source of the f32/255 values)."""
+    import jax
+
+    from cfpnet_tpu.data.tof_sim_jax import device_preprocess
+    from cfpnet_tpu.data.geometry import geometry_for
+
+    cfg = fake_nyu.replace(device_pipeline=True, do_random_rotate=False)
+    ds = NYUV2Dataset(cfg, "train")
+    s = ds[0]
+    assert s["image_raw"].dtype == np.uint8
+    assert s["image_raw"].shape == (416, 544, 3)
+    geom = geometry_for(cfg, "train")
+    rng = jax.random.key(3)
+    out_u8 = device_preprocess(s["image_raw"][None], s["depth"][None, ..., 0],
+                               rng, geom, train=True)
+    out_f32 = device_preprocess(
+        (s["image_raw"].astype(np.float32) / 255.0)[None],
+        s["depth"][None, ..., 0], rng, geom, train=True,
+    )
+    for k in out_u8:
+        # atol 1e-6: XLA fuses the on-device /255 differently from the
+        # host's, shifting f32 rounding by ~1 ulp
+        np.testing.assert_allclose(np.asarray(out_u8[k]), np.asarray(out_f32[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+
+
 def test_synthetic_pair_dataset(tiny_config):
     from cfpnet_tpu.data.datasets import SyntheticPairDataset
 

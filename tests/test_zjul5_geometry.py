@@ -72,7 +72,7 @@ def test_rect_geometry_matches_reference_patch_info():
     import torch
 
     if "/root/reference" not in sys.path:
-        sys.path.insert(0, "/root/reference")
+        sys.path.append("/root/reference")  # append: see reference_oracle.py
     from src.utils.dataloader import patch_info_from_rect_data
 
     rng = np.random.default_rng(11)
