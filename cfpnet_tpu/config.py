@@ -119,6 +119,10 @@ class Config:
     coordinator_address: str = ""
     num_processes: int = 0
     process_id: int = -1
+    # shard the eval sweep across hosts (beyond parity — the reference eval
+    # is single-device bs=1): images strided per process, image-weighted
+    # metric merge via one process_allgather (train/loop.evaluate_sharded).
+    shard_eval: bool = False
     # seed (reference train.py:218 uses 117010053).
     seed: int = 117010053
     # use Pallas kernels for the hot ops (fused linear attention, large-

@@ -71,6 +71,15 @@ class NYUV2Dataset:
     def __len__(self):
         return len(self.sample_list)
 
+    def sample_meta(self, idx):
+        """(folder, name) for per-image result dumps — the reference keys
+        its per-scene output folders off image_folder/image_path
+        (reference evaluate_all.py:71-77)."""
+        rgb_path, _ = self._paths(idx)
+        folder = os.path.basename(os.path.dirname(rgb_path)) or "nyu"
+        name = os.path.splitext(os.path.basename(rgb_path))[0]
+        return folder, name
+
     def _paths(self, idx):
         # reference nyu.py:96-104: filename entries like 'sync/scene/00001.h5';
         # strip the leading dir and swap in rgb_/sync_depth_ files.
@@ -128,7 +137,8 @@ class NYUV2Dataset:
             dep = np.asarray(depth_gt, dtype=np.float32) / 1000.0
 
         sample = finalize_sample(
-            img, dep, self.focal, cfg, self.mode, self.rng, simulate_hist=True
+            img, dep, self.focal, cfg, self.mode, self.rng,
+            simulate_hist=True, exact_u8=True,  # jpg/png source is uint8
         )
         if self.mode == "online_eval":
             sample["has_valid_depth"] = np.bool_(has_valid_depth)
@@ -201,6 +211,12 @@ class ZJUL5Dataset:
     def __len__(self):
         return len(self.sample_list)
 
+    def sample_meta(self, idx):
+        entry = self.sample_list[idx]
+        fname = entry["filename"] if isinstance(entry, dict) else entry
+        folder = os.path.dirname(fname) or "zjuL5"
+        return folder.replace("/", "__"), os.path.splitext(os.path.basename(fname))[0]
+
     def __getitem__(self, idx) -> Dict[str, np.ndarray]:
         import h5py
 
@@ -245,6 +261,9 @@ class SyntheticDataset:
     def __len__(self):
         return self.length
 
+    def sample_meta(self, idx):
+        return "synthetic", f"{idx:05d}"
+
     def __getitem__(self, idx) -> Dict[str, np.ndarray]:
         cfg = self.config
         h, w = cfg.image_size_for(self.mode)
@@ -273,15 +292,17 @@ def finalize_sample(
     rng: np.random.Generator,
     simulate_hist: bool = True,
     offset=(0, 0),
+    exact_u8: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Shared tail: normalize, ToF-simulate, augment, sample points.
 
-    Eval samples ship the image as RAW uint8 (``image_u8``) and the
-    ImageNet normalize runs on device inside the eval step — 4x less
-    host->device traffic per frame, and numerically exact for uint8-sourced
-    data (jpg/h5). Train samples stay normalized f32 (``image``): the
-    photometric augmentation produces non-integer values that uint8 would
-    quantize."""
+    Eval samples from uint8 SOURCES (jpg/h5 — ``exact_u8=True``) ship the
+    image as RAW uint8 (``image_u8``) and the ImageNet normalize runs on
+    device inside the eval step — 4x less host->device traffic per frame,
+    numerically exact because the u8 crop is the literal source of the
+    f32/255 values. Float-valued sources (synthetic) and train samples stay
+    normalized f32 (``image``): quantizing them would introduce up to
+    ~1/510 per-channel error (ADVICE r2)."""
     geom = geometry_for(cfg, mode, offset)
     max_d = cfg.simu_max_distance
     if cfg.random_simu_max_d and mode == "train":
@@ -302,7 +323,7 @@ def finalize_sample(
         mask=mask,
         focal=np.float32(focal),
     )
-    if mode == "train":
+    if mode == "train" or not exact_u8:
         out["image"] = normalize_image(img).astype(np.float32)
     else:
         out["image_u8"] = np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)

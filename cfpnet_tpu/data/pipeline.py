@@ -38,6 +38,16 @@ class DataLoader:
     ):
         self.dataset = dataset
         self.batch_size = batch_size
+        if mesh is not None and jax.process_count() > 1:
+            # each process decodes bs/nproc samples; a non-divisible batch
+            # would silently shrink the global batch (ADVICE r2) — fail fast.
+            nproc = jax.process_count()
+            if batch_size % nproc != 0:
+                raise ValueError(
+                    f"multi-host data loading requires batch_size divisible "
+                    f"by the process count: bs={batch_size}, "
+                    f"processes={nproc}. Pick bs a multiple of {nproc}."
+                )
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.seed = seed

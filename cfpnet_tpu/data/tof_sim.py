@@ -143,17 +143,29 @@ def sample_points(
         # start*(1-t) + end*t
         samples = start * (1.0 - t) + end * t
     else:
-        from scipy.stats import norm  # only needed for the non-production path
-
-        delta = 1e-3
-        ppf = np.arange(delta, 1, (1 - 2 * delta) / (zone_sample_num - 1))[
-            None, :zone_sample_num
-        ]
-        samples = norm.ppf(ppf, loc=mu[:, None], scale=sigma[:, None]).astype(
-            np.float32
-        )
+        samples = (
+            mu[:, None]
+            + sigma[:, None] * _std_normal_icdf_grid(zone_sample_num)[None, :]
+        ).astype(np.float32)
     out[mask] = samples[mask]
     return out
+
+
+def _std_normal_icdf_grid(zone_sample_num: int) -> np.ndarray:
+    """Standard-normal inverse-CDF quantile grid (f64) for the reference's
+    non-``sample_uniform`` mode: evenly spaced quantiles over
+    [delta, 1-delta], delta=1e-3 (reference src/utils/dataloader.py:68-72).
+
+    scipy-free: ``torch.special.ndtri`` is the same kernel the reference's
+    ``torch.distributions.Normal.icdf`` dispatches to, so this is the
+    reference computation itself, not an approximation of it."""
+    import torch
+
+    delta = 1e-3
+    q = np.arange(delta, 1, (1 - 2 * delta) / (zone_sample_num - 1))[
+        :zone_sample_num
+    ]
+    return torch.special.ndtri(torch.from_numpy(q)).numpy()
 
 
 def augment_hist(

@@ -101,23 +101,52 @@ def get_hist_jax(depth: jnp.ndarray, geom: ZoneGeometry,
 
 
 def sample_points_jax(fh: jnp.ndarray, mask: jnp.ndarray,
-                      zone_sample_num: int) -> jnp.ndarray:
-    """Uniform mu±3sigma expansion; [B,Z,2] -> [B,Z,n]; invalid zones zero."""
-    t = jnp.linspace(0.0, 1.0, zone_sample_num)
+                      zone_sample_num: int,
+                      sample_uniform: bool = True) -> jnp.ndarray:
+    """Expand per-zone (mu, sigma) to depth samples; [B,Z,2] -> [B,Z,n];
+    invalid zones zero. Both reference modes
+    (/root/reference/src/utils/dataloader.py:65-80):
+
+    - ``sample_uniform``: linspace over mu±3sigma (production configs);
+    - else (the parser DEFAULT): Gaussian inverse-CDF at evenly spaced
+      quantiles [1e-3, 1-1e-3]. The quantile grid is static per
+      ``zone_sample_num``, so Phi^-1 is evaluated once at trace time (f64,
+      host) and baked into the graph as a constant — the on-device work is
+      just the mu + sigma*z affine map.
+    """
     mu, sg = fh[..., 0:1], fh[..., 1:2]
-    start, end = mu - 3.0 * sg, mu + 3.0 * sg
-    pts = start * (1.0 - t) + end * t
+    if sample_uniform:
+        t = jnp.linspace(0.0, 1.0, zone_sample_num)
+        start, end = mu - 3.0 * sg, mu + 3.0 * sg
+        pts = start * (1.0 - t) + end * t
+    else:
+        from .tof_sim import _std_normal_icdf_grid
+
+        z = jnp.asarray(_std_normal_icdf_grid(zone_sample_num), jnp.float32)
+        pts = mu + sg * z
     return jnp.where(mask[..., None], pts, 0.0)
 
 
 def augment_hist_jax(fh, mask, rng, drop_hist: float, noise_prob: float,
                      noise_mean: float, noise_sigma: float):
-    """Train-time zone dropout + mu noise (reference nyu.py:155-163 in
-    expectation; dropout here is i.i.d. Bernoulli(drop_hist) per valid zone
-    rather than sampling-with-replacement — same marginal drop rate)."""
+    """Train-time zone dropout + mu noise (reference nyu.py:155-163).
+
+    The reference draws ``m = int(n_valid * drop_hist)`` zone indices WITH
+    replacement (np.random.choice default), so the effective per-zone drop
+    probability is ``p_eff = 1 - (1 - 1/n)^m`` (~28.8% for p=0.34, n=64 —
+    NOT 34%). Dropping i.i.d. Bernoulli(p_eff) per valid zone reproduces
+    that marginal exactly at static shape; the host path
+    (tof_sim.augment_hist) replicates the reference draw literally, and
+    tests/test_aug_equivalence.py pins the two marginals against each
+    other."""
     k1, k2, k3 = jax.random.split(rng, 3)
     if drop_hist > 1e-3:
-        keep = jax.random.uniform(k1, mask.shape) >= drop_hist
+        n = mask.sum(axis=-1, keepdims=True).astype(jnp.float32)
+        m = jnp.floor(n * drop_hist)
+        p_eff = jnp.where(
+            n > 0, 1.0 - (1.0 - 1.0 / jnp.maximum(n, 1.0)) ** m, 0.0
+        )
+        keep = jax.random.uniform(k1, mask.shape) >= p_eff
         mask = mask & keep
     if noise_prob > 1e-3:
         hit = jax.random.uniform(k2, mask.shape) < noise_prob
@@ -143,7 +172,8 @@ def photometric_augment_jax(img: jnp.ndarray, rng) -> jnp.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("geom", "max_distance", "zone_sample_num", "drop_hist",
-                     "noise_prob", "noise_mean", "noise_sigma", "train"),
+                     "noise_prob", "noise_mean", "noise_sigma", "train",
+                     "sample_uniform"),
 )
 def device_preprocess(
     img: jnp.ndarray,  # [B,H,W,3] 0..1 (already decoded/cropped on host)
@@ -157,6 +187,7 @@ def device_preprocess(
     noise_mean: float = 0.0,
     noise_sigma: float = 0.0,
     train: bool = True,
+    sample_uniform: bool = True,
 ):
     """Fused on-device tail of the data pipeline: flip + photometric aug +
     normalize + ToF sim + hist aug + point sampling, one XLA program.
@@ -179,5 +210,5 @@ def device_preprocess(
         fh, mask = augment_hist_jax(
             fh, mask, k_hist, drop_hist, noise_prob, noise_mean, noise_sigma
         )
-    pts = sample_points_jax(fh, mask, zone_sample_num)
+    pts = sample_points_jax(fh, mask, zone_sample_num, sample_uniform)
     return dict(image=norm, depth=depth[..., None], hist_data=pts, mask=mask)

@@ -41,11 +41,17 @@ def maybe_initialize_distributed(config) -> bool:
         kw["num_processes"] = config.num_processes
     if getattr(config, "process_id", -1) >= 0:
         kw["process_id"] = config.process_id
-    try:
+    # idempotence via the distributed-runtime state, not exception-message
+    # parsing (ADVICE r2: the "already initialized" text is not a stable API)
+    already = (
+        jax.distributed.is_initialized()
+        if hasattr(jax.distributed, "is_initialized")
+        else getattr(
+            getattr(jax.distributed, "global_state", None), "client", None
+        ) is not None
+    )
+    if not already:
         jax.distributed.initialize(**kw)
-    except RuntimeError as e:  # already initialized
-        if "already" not in str(e).lower():
-            raise
     return jax.process_count() > 1
 
 

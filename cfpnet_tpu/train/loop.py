@@ -53,12 +53,13 @@ def make_eval_steps(model, config, loader, protocol: str = "validate"):
     if geoms is None:
         geoms = model_geometries(config, "online_eval")
     return (make_eval_step(model, config, geoms, protocol=protocol),
-            make_metric_step(config))
+            make_metric_step(config, protocol=protocol))
 
 
 def evaluate(
     model, config, params, batch_stats, loader, protocol: str = "validate",
     max_batches: Optional[int] = None, tiny: bool = False, steps=None,
+    per_image_hook=None, _accumulator=None,
 ) -> Dict[str, float]:
     """Full metric sweep over an eval loader at native resolution.
 
@@ -69,7 +70,13 @@ def evaluate(
     shape) and the pad images are excluded from the averages.
 
     Pass ``steps=(eval_step, metric_step)`` to reuse jitted steps across
-    epochs (a fresh make_eval_step per call would re-trace every epoch)."""
+    epochs (a fresh make_eval_step per call would re-trace every epoch).
+
+    ``per_image_hook(dataset_index, pred_hw, batch, j)`` is called for every
+    REAL (non-pad) sample with the host-fetched full-resolution prediction —
+    the eval loader is sequential, so ``dataset_index`` maps 1:1 onto the
+    dataset (used by evaluate_all's --save_pred/--save_rgb/--save_error_map
+    dumps; reference evaluate_all.py:71-77)."""
     if steps is not None:
         eval_step, metric_step = steps
     else:
@@ -79,7 +86,8 @@ def evaluate(
     if batch_stats is not None:
         batch_stats = jax.device_put(batch_stats)
     eval_bs = getattr(loader, "batch_size", 1)
-    metrics = RunningAverageDict()
+    metrics = RunningAverageDict() if _accumulator is None else _accumulator
+    seen = 0
     for i, batch in enumerate(loader):
         if max_batches is not None and i >= max_batches:
             break
@@ -103,13 +111,103 @@ def evaluate(
         m = {k: np.asarray(v).reshape(-1) for k, v in m.items()}
         n = np.asarray(n).reshape(-1)
         hvd = None if hvd is None else np.asarray(hvd).reshape(-1)
+        if per_image_hook is not None:
+            pred_host = np.asarray(jax.device_get(pred))
+            for j in range(n_real):
+                per_image_hook(seen + j, pred_host[j, ..., 0], batch, j)
         for j in range(n_real):
             # skip samples without ground truth (reference train.py:179-181)
             if hvd is not None and not bool(hvd[j]):
                 continue
             if int(n[j]) > 0:
                 metrics.update({k: float(v[j]) for k, v in m.items()})
+        seen += n_real
     return metrics.get_value() or {}
+
+
+EVAL_METRIC_KEYS = ["a1", "a2", "a3", "abs_rel", "rmse", "log_10",
+                    "rmse_log", "silog", "sq_rel"]
+
+
+class _Subset:
+    """Index-striding dataset view (keeps scale_geoms / sample_meta)."""
+
+    def __init__(self, dataset, indices):
+        self.dataset = dataset
+        self.indices = list(indices)
+        self.scale_geoms = getattr(dataset, "scale_geoms", None)
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, i):
+        return self.dataset[self.indices[i]]
+
+    def sample_meta(self, i):
+        fn = getattr(self.dataset, "sample_meta", None)
+        if fn is not None:
+            return fn(self.indices[i])
+        return "eval", f"{self.indices[i]:05d}"
+
+
+def evaluate_sharded(
+    model, config, params, batch_stats, dataset, protocol: str = "validate",
+    steps=None, per_image_hook=None, barrier_fn=None,
+) -> Dict[str, float]:
+    """Multi-host evaluation (beyond parity — the reference is locked to one
+    device, evaluate_all.py:95): images are strided across processes, each
+    process sweeps its own subset with the ordinary single-device eval steps
+    (eval is embarrassingly parallel — no collectives in the hot loop), and
+    the image-weighted (mean, count) pairs merge with ONE
+    ``process_allgather`` at the end. Every process returns the identical
+    global metrics; numerics match the single-process sweep because the
+    per-image metric stream is unchanged, only its partitioning differs."""
+    nproc = jax.process_count()
+    pid = jax.process_index()
+    if nproc == 1:
+        loader = make_loader(config, "online_eval", dataset=dataset)
+        return evaluate(model, config, params, batch_stats, loader,
+                        protocol=protocol, steps=steps,
+                        per_image_hook=per_image_hook)
+
+    def _localize(tree):
+        # post-step params live replicated on the GLOBAL mesh (not fully
+        # addressable from one process); every process holds a complete
+        # copy, so pull the local replica for the per-process sweep
+        def one(x):
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                assert x.is_fully_replicated, (
+                    "sharded (non-replicated) params cannot be localized for "
+                    "the per-process eval sweep")
+                return np.asarray(x.addressable_data(0))
+            return x
+        return jax.tree_util.tree_map(one, tree)
+
+    params = _localize(params)
+    batch_stats = None if batch_stats is None else _localize(batch_stats)
+    sub = _Subset(dataset, range(pid, len(dataset), nproc))
+    loader = make_loader(config, "online_eval", dataset=sub)
+    if steps is None:
+        steps = make_eval_steps(model, config, loader, protocol)
+    acc = RunningAverageDict()
+    evaluate(model, config, params, batch_stats, loader, protocol=protocol,
+             steps=steps, per_image_hook=per_image_hook, _accumulator=acc)
+    count = 0 if acc._dict is None else next(iter(acc._dict.values())).count
+    vals = acc.get_value() if acc._dict is not None else {}
+    vec = np.array(
+        [float(count)] + [vals.get(k, 0.0) * count for k in EVAL_METRIC_KEYS],
+        np.float64,
+    )
+    if barrier_fn is not None:
+        barrier_fn("eval_allgather")
+    from jax.experimental import multihost_utils
+
+    all_vec = np.asarray(multihost_utils.process_allgather(vec))  # [P, 10]
+    total = all_vec[:, 0].sum()
+    if total == 0:
+        return {}
+    sums = all_vec[:, 1:].sum(axis=0)
+    return {k: float(s / total) for k, s in zip(EVAL_METRIC_KEYS, sums)}
 
 
 def run_training(config, tiny: bool = False, max_steps_per_epoch: Optional[int] = None):
@@ -140,7 +238,8 @@ def run_training(config, tiny: bool = False, max_steps_per_epoch: Optional[int] 
             **_dp(first_batch["image_raw"], first_batch["depth"][..., 0],
                   jax.random.fold_in(rng, 777), _pg,
                   max_distance=config.simu_max_distance,
-                  zone_sample_num=config.zone_sample_num, train=True),
+                  zone_sample_num=config.zone_sample_num, train=True,
+                  sample_uniform=config.sample_uniform),
         )
     state = create_train_state(model, config, rng, first_batch, geoms_t, tx)
 
@@ -174,14 +273,14 @@ def run_training(config, tiny: bool = False, max_steps_per_epoch: Optional[int] 
                 zone_sample_num=config.zone_sample_num,
                 drop_hist=config.drop_hist, noise_prob=config.noise_prob,
                 noise_mean=config.noise_mean, noise_sigma=config.noise_sigma,
-                train=True,
+                train=True, sample_uniform=config.sample_uniform,
             )
             return dict(batch, **out)
 
     geoms_e = model_geometries(config, "online_eval")
     eval_steps = (
         make_eval_step(model, config, geoms_e, protocol="validate"),
-        make_metric_step(config),
+        make_metric_step(config, protocol="validate"),
     )
 
     step = int(state.step)
@@ -208,10 +307,16 @@ def run_training(config, tiny: bool = False, max_steps_per_epoch: Optional[int] 
         # Production configs use --validate_every 1 (every epoch) either way.
         stride = max(int(config.validate_every), 1)
         if (epoch + 1) % stride == 0 or epoch + 1 == config.epochs:
-            metrics = evaluate(
-                model, config, state.params, state.batch_stats, eval_loader,
-                protocol="validate", tiny=tiny, steps=eval_steps,
-            )
+            if config.shard_eval and jax.process_count() > 1:
+                metrics = evaluate_sharded(
+                    model, config, state.params, state.batch_stats,
+                    eval_loader.dataset, protocol="validate", steps=eval_steps,
+                )
+            else:
+                metrics = evaluate(
+                    model, config, state.params, state.batch_stats, eval_loader,
+                    protocol="validate", tiny=tiny, steps=eval_steps,
+                )
             rmse = metrics.get("rmse", float("inf"))
             logger.log(kind="val", epoch=epoch, step=step, **metrics)
             print(

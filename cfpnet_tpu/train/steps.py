@@ -47,8 +47,10 @@ def eval_batch_image(batch: Dict) -> jnp.ndarray:
     return batch["image"]
 
 
-def make_train_step(model, config, geoms):
+def make_train_step(model, config, geoms, jit: bool = True):
     """Returns jitted ``(state, batch, rng) -> (state, loss)``.
+    ``jit=False`` returns the raw traceable step (used by the chained
+    latency harness, which runs K steps inside one fori_loop graph).
 
     batch: image [B,H,W,3], depth [B,H,W,1], hist_data [B,Z,n], mask [B,Z].
 
@@ -68,20 +70,19 @@ def make_train_step(model, config, geoms):
             tree,
         )
 
-    def cast_back(tree):
-        if cdt == jnp.float32:
-            return tree
-        return jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.float32)
-            if jnp.issubdtype(x.dtype, jnp.floating) else x,
-            tree,
-        )
-
     def train_step(state: TrainState, batch: Dict, rng):
         def loss_fn(params):
+            # batch_stats stay f32 UNCAST: flax computes batch statistics in
+            # f32 regardless of input dtype (normalization._compute_stats),
+            # and the running-average update `m*ra + (1-m)*mean` then runs
+            # entirely in f32 — so sub-bf16-ulp momentum increments survive.
+            # (Casting them to bf16 here would quantize the accumulator each
+            # step; output dtype is unaffected — flax's _normalize derives it
+            # from (x, scale, bias) only.) Test: tests/test_bf16.py::
+            # test_bn_running_stats_accumulate_f32.
             (bin_edges, pred), updates = model.apply(
                 {"params": cast_tree(params),
-                 "batch_stats": cast_tree(state.batch_stats)},
+                 "batch_stats": state.batch_stats},
                 batch["image"].astype(cdt),
                 batch["hist_data"].astype(cdt),
                 batch["mask"],
@@ -90,7 +91,6 @@ def make_train_step(model, config, geoms):
                 rngs={"fusion": rng},
                 mutable=["batch_stats"],
             )
-            updates = {"batch_stats": cast_back(updates["batch_stats"])}
             # reference train.py:121-123: clip pred at min_depth, mask gt
             pred = jnp.clip(pred, config.min_depth, None)
             dmask = batch["depth"] > config.min_depth
@@ -103,6 +103,8 @@ def make_train_step(model, config, geoms):
         )
         return state, loss
 
+    if not jit:
+        return train_step
     return jax.jit(train_step, donate_argnums=(0,))
 
 
@@ -144,16 +146,27 @@ def make_eval_step(model, config, geoms, protocol: str = "evaluate_all"):
     return jax.jit(eval_step)
 
 
-def make_metric_step(config):
+def make_metric_step(config, protocol: str = "validate"):
     """Jitted PER-IMAGE metric computation (masked, shape-static).
 
     Returns ``(metrics_dict_of_[B], valid_counts_[B])`` — vmapped over the
     batch axis so batched evaluation (``--eval_bs``) keeps the reference's
     image-weighted averaging exactly (reference streams one image at a time
-    through RunningAverageDict, evaluate_all.py:80-84)."""
+    through RunningAverageDict, evaluate_all.py:80-84).
+
+    The valid-mask bound pair follows the reference's two drivers exactly:
+    protocol='evaluate_all' masks with ``min_depth/max_depth`` (reference
+    evaluate_all.py:80), protocol='validate' with ``min_depth_eval/
+    max_depth_eval`` (reference train.py:198). Identical under every
+    production config (both pairs are 1e-3/10) but kept distinct so the
+    protocols diverge exactly when the reference's would."""
+    if protocol == "evaluate_all":
+        lo, hi = config.min_depth, config.max_depth
+    else:
+        lo, hi = config.min_depth_eval, config.max_depth_eval
 
     def one_image(gt, pred):
-        valid = (gt > config.min_depth_eval) & (gt < config.max_depth_eval)
+        valid = (gt > lo) & (gt < hi)
         return compute_errors(gt, pred, valid), valid.sum()
 
     return jax.jit(jax.vmap(one_image))

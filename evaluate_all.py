@@ -15,6 +15,8 @@ the reference hard-requires it; CSV is the always-on artifact).
 import csv
 import os
 
+import jax
+
 from cfpnet_tpu.config import parse_config
 from cfpnet_tpu.data.pipeline import make_loader
 from cfpnet_tpu.models.deltar import make_model
@@ -26,6 +28,60 @@ enable_compilation_cache()
 
 
 METRICS = ["a1", "a2", "a3", "abs_rel", "rmse", "log_10", "rmse_log", "silog", "sq_rel"]
+
+
+def make_save_hook(config, dataset):
+    """Per-image result dumps: colorized prediction / input RGB / error map
+    PNGs into per-scene folders under ``save_dir`` — the capability behind
+    the reference's --save_pred/--save_rgb/--save_error_map flags and
+    per-scene folder layout (reference evaluate_all.py:47-48,59-61,71-77;
+    the reference parses the flags and creates the folders but never writes
+    the images — here the flags produce files). Returns None when no save
+    flag is set."""
+    if not (config.save_pred or config.save_rgb or config.save_error_map):
+        return None
+    import numpy as np
+    from PIL import Image as PILImage
+
+    from cfpnet_tpu.data.datasets import sample_image_f32
+    from cfpnet_tpu.utils.vis import colorize, unnormalize
+
+    def meta(idx):
+        fn = getattr(dataset, "sample_meta", None)
+        return fn(idx) if fn else ("eval", f"{idx:05d}")
+
+    def hook(idx, pred_hw, batch, j):
+        folder, name = meta(idx)
+        out_dir = os.path.join(config.save_dir, folder)
+        os.makedirs(out_dir, exist_ok=True)
+        if config.save_pred:
+            vis = colorize(pred_hw, vmin=float(pred_hw.min()),
+                           vmax=float(pred_hw.max()))
+            PILImage.fromarray(vis).save(
+                os.path.join(out_dir, f"{name}_pred.png"))
+        if config.save_rgb:
+            if "image_u8" in batch:
+                rgb = np.asarray(batch["image_u8"][j])
+            else:
+                rgb = np.clip(
+                    unnormalize(sample_image_f32(
+                        {k: v[j] for k, v in batch.items()
+                         if k in ("image", "image_u8")})) * 255.0,
+                    0, 255).astype(np.uint8)
+            PILImage.fromarray(rgb).save(
+                os.path.join(out_dir, f"{name}_rgb.png"))
+        if config.save_error_map:
+            gt = np.asarray(batch["depth"][j, ..., 0])
+            err = np.abs(pred_hw - gt)
+            # invalid gt rendered white (colorize's -1 convention)
+            err[(gt <= config.min_depth) | (gt >= config.max_depth)] = -1
+            valid = err >= 0
+            vmax = float(err[valid].max()) if valid.any() else 1.0
+            vis = colorize(err, vmin=0.0, vmax=max(vmax, 1e-6))
+            PILImage.fromarray(vis).save(
+                os.path.join(out_dir, f"{name}_error.png"))
+
+    return hook
 
 
 def zju_overrides(config):
@@ -77,10 +133,20 @@ def main():
             weight_path = os.path.join(weights_dir, names[0])
 
         payload = load_weights(weight_path)
-        results = evaluate(
-            model, config, payload["params"], payload.get("batch_stats"), loader,
-            protocol="evaluate_all", steps=steps,
-        )
+        if config.shard_eval and jax.process_count() > 1:
+            from cfpnet_tpu.train.loop import evaluate_sharded
+
+            results = evaluate_sharded(
+                model, config, payload["params"], payload.get("batch_stats"),
+                loader.dataset, protocol="evaluate_all", steps=steps,
+                per_image_hook=make_save_hook(config, loader.dataset),
+            )
+        else:
+            results = evaluate(
+                model, config, payload["params"], payload.get("batch_stats"),
+                loader, protocol="evaluate_all", steps=steps,
+                per_image_hook=make_save_hook(config, loader.dataset),
+            )
         results = {k: round(v, 3) for k, v in results.items()}
         print(f"Metrics: {results}")
         print(",".join(str(results[m]) for m in METRICS))
@@ -88,6 +154,8 @@ def main():
         if config.selected_epoch != "-1":
             break
 
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return  # one CSV/xlsx writer per job
     os.makedirs(config.save_dir, exist_ok=True)
     suffix = "_nyu" if "nyu" in config.test_dataset else ""
     csv_path = os.path.join(config.save_dir, f"results{suffix}.csv")

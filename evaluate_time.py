@@ -149,6 +149,106 @@ def timed_forward(config, tiny: bool = False, niters: int = 500, params=None,
     return trimmed, pred
 
 
+def timed_train_step(config, niters: int = 60, batch_size: int = None,
+                     compute_dtype=None, tiny: bool = False):
+    """Chained train-step latency (ms/step): K real optimizer steps run
+    inside ONE jit via fori_loop (loop-carried TrainState), ending in a
+    host-forced scalar — same honest protocol as ``timed_forward``.
+
+    The batch is synthetic at the production train shape
+    (bs x input_height x input_width); forward+loss+backward+AdamW update,
+    identical graph to ``train/loop.run_training``'s step."""
+    from cfpnet_tpu.data.datasets import SyntheticDataset
+    from cfpnet_tpu.data.pipeline import collate
+    from cfpnet_tpu.train.optim import make_optimizer
+    from cfpnet_tpu.train.steps import create_train_state, make_train_step
+
+    cfg = config.replace(mode="train")
+    if compute_dtype is not None:
+        cfg = cfg.replace(compute_dtype=compute_dtype)
+    bs = batch_size or cfg.bs
+    model = make_model(cfg, tiny=tiny)
+    geoms = model_geometries(cfg, "train")
+    ds = SyntheticDataset(cfg.replace(dataset="synthetic"), "train", length=bs)
+    batch = jax.device_put(collate([ds[i] for i in range(bs)]))
+    tx = make_optimizer(cfg, total_steps=max(1000, niters))
+    rng = jax.random.key(cfg.seed)
+    state = create_train_state(model, cfg, rng, batch, geoms, tx)
+    raw_step = make_train_step(model, cfg, geoms, jit=False)
+
+    K = 10
+    reps = max(3, niters // K)
+
+    def chain(st, b, r):
+        def body(i, s):
+            s2, _ = raw_step(s, b, jax.random.fold_in(r, i))
+            return s2
+        st = jax.lax.fori_loop(0, K, body, st)
+        leaf = jax.tree_util.tree_leaves(st.params)[0]
+        return st, jnp.sum(leaf)
+
+    cstep = jax.jit(chain, donate_argnums=(0,))
+    state, s = cstep(state, batch, rng)
+    float(s)
+    diffs = []
+    for _ in range(reps):
+        t = time.perf_counter()
+        state, s = cstep(state, batch, jax.random.fold_in(rng, 9))
+        float(s)
+        diffs.append((time.perf_counter() - t) * 1000.0 / K)
+    diffs.sort()
+    trimmed = (sum(diffs[1:-1]) / max(1, len(diffs) - 2)
+               if len(diffs) > 2 else diffs[0])
+    return trimmed
+
+
+def graph_flops_eval(config, batch_size: int = 1, tiny: bool = False):
+    """XLA cost-analysis FLOPs of ONE eval forward at (bs, native res).
+    Dtype-independent op count — the honest numerator for MFU."""
+    model = make_model(config, tiny=tiny)
+    geoms = model_geometries(config, "online_eval")
+    h, w = config.native_height, config.native_width
+    zn = config.eval_zone_num
+    img = jnp.zeros((batch_size, h, w, 3))
+    hist = jnp.zeros((batch_size, zn * zn, config.zone_sample_num))
+    mask = jnp.ones((batch_size, zn * zn), bool)
+    variables = jax.eval_shape(
+        lambda r: model.init({"params": r, "fusion": r}, img, hist, mask, geoms),
+        jax.random.key(0),
+    )
+    lowered = jax.jit(
+        lambda v, i, hh, m: model.apply(v, i, hh, m, geoms, train=False)[1]
+    ).lower(variables, img, hist, mask)
+    cost = lowered.compile().cost_analysis()
+    return float(cost.get("flops", float("nan"))) if cost else float("nan")
+
+
+def graph_flops_train(config, batch_size: int = None, tiny: bool = False):
+    """XLA cost-analysis FLOPs of ONE full train step (fwd+bwd+AdamW)."""
+    from cfpnet_tpu.data.datasets import SyntheticDataset
+    from cfpnet_tpu.data.pipeline import collate
+    from cfpnet_tpu.train.optim import make_optimizer
+    from cfpnet_tpu.train.steps import create_train_state, make_train_step
+
+    cfg = config.replace(mode="train")
+    bs = batch_size or cfg.bs
+    model = make_model(cfg, tiny=tiny)
+    geoms = model_geometries(cfg, "train")
+    ds = SyntheticDataset(cfg.replace(dataset="synthetic"), "train", length=1)
+    sample = ds[0]
+    batch = {k: np.broadcast_to(v[None], (bs,) + np.asarray(v).shape)
+             for k, v in sample.items()}
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    tx = make_optimizer(cfg, total_steps=1000)
+    rng = jax.random.key(cfg.seed)
+    state = jax.eval_shape(
+        lambda: create_train_state(model, cfg, rng, batch, geoms, tx))
+    step = make_train_step(model, cfg, geoms, jit=False)
+    lowered = jax.jit(step).lower(state, batch, rng)
+    cost = lowered.compile().cost_analysis()
+    return float(cost.get("flops", float("nan"))) if cost else float("nan")
+
+
 if __name__ == "__main__":
     argv = sys.argv[1:]
     profile_flops = "--profile_flops" in argv

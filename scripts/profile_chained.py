@@ -55,7 +55,106 @@ def chain_time(apply_fn, x0, *extra):
     return min(ts) / N_CHAIN * 1000.0
 
 
+def profile_train():
+    """Per-component train-step profile (VERDICT r2 item 1): full step vs
+    forward+loss vs grad-only — the bwd/opt share is the difference. Usage:
+    python scripts/profile_chained.py train [bf16] [bs]."""
+    import numpy as np
+
+    from cfpnet_tpu.data.datasets import SyntheticDataset
+    from cfpnet_tpu.data.pipeline import collate
+    from cfpnet_tpu.train.losses import silog_loss
+    from cfpnet_tpu.train.optim import make_optimizer
+    from cfpnet_tpu.train.steps import create_train_state, make_train_step
+
+    dtype = "bfloat16" if any("bf" in a for a in sys.argv[1:]) else "float32"
+    bs = next((int(a) for a in sys.argv[1:] if a.isdigit()), 16)
+    cfg = Config(
+        n_bins=256, bs=bs, input_height=416, input_width=544,
+        train_zone_num=6, sample_uniform=True, drop_hist=0.34,
+        noise_mean=0.17, noise_sigma=0.2, noise_prob=0.3,
+        attention_layer=["hist2image", "combine1", "image",
+                         "hist2image", "combine1", "image"],
+        change_embedding=True, disable_clip_grad=True, hist_encoder_10x=True,
+        dataset="synthetic", compute_dtype=dtype,
+        remat=any("remat" in a for a in sys.argv[1:]),
+    )
+    model = make_model(cfg)
+    geoms = model_geometries(cfg, "train")
+    ds = SyntheticDataset(cfg, "train", length=bs)
+    batch = jax.device_put(collate([ds[i] for i in range(bs)]))
+    tx = make_optimizer(cfg, total_steps=1000)
+    rng = jax.random.key(0)
+    state = create_train_state(model, cfg, rng, batch, geoms, tx)
+    raw_step = make_train_step(model, cfg, geoms, jit=False)
+    cdt = jnp.dtype(dtype)
+
+    def time_scan(fn, label):
+        """Chain K calls of fn(carry)->carry inside one jit."""
+        def run(c):
+            c = jax.lax.fori_loop(0, N_CHAIN, lambda i, cc: fn(cc, i), c)
+            leaf = jax.tree_util.tree_leaves(c)[0]
+            return jnp.sum(leaf.astype(jnp.float32))
+        g = jax.jit(run)
+        float(g(state.params))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(g(state.params))
+            ts.append(time.perf_counter() - t0)
+        ms = min(ts) / N_CHAIN * 1000.0
+        print(f"  {label}: {ms:.1f} ms  ({bs * 1000.0 / ms:.1f} img/s)")
+        return ms
+
+    # full step (fwd+bwd+AdamW) — carry the params through the chain
+    def full(p, i):
+        st = state.replace(params=p)
+        st2, _ = raw_step(st, batch, jax.random.fold_in(rng, i))
+        return st2.params
+
+    def cast_tree(t):
+        if cdt == jnp.float32:
+            return t
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(cdt)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+
+    def loss_of(p, i):
+        (bin_edges, pred), _ = model.apply(
+            {"params": cast_tree(p), "batch_stats": state.batch_stats},
+            batch["image"].astype(cdt), batch["hist_data"].astype(cdt),
+            batch["mask"], geoms, train=True,
+            rngs={"fusion": jax.random.fold_in(rng, i)},
+            mutable=["batch_stats"],
+        )
+        pred = jnp.clip(pred, cfg.min_depth, None)
+        return silog_loss(pred, batch["depth"],
+                          batch["depth"] > cfg.min_depth, interpolate=True)
+
+    def fwd_only(p, i):
+        l = loss_of(p, i)
+        return jax.tree_util.tree_map(
+            lambda x: x + (l * 1e-30).astype(x.dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, p)
+
+    def grad_only(p, i):
+        g = jax.grad(lambda pp: loss_of(pp, i))(p)
+        return jax.tree_util.tree_map(
+            lambda x, gg: x + (gg * 1e-30).astype(x.dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, p, g)
+
+    print(f"[train {dtype} bs={bs} 416x544 remat={cfg.remat}]")
+    t_full = time_scan(full, "full step (fwd+bwd+opt)")
+    t_fwd = time_scan(fwd_only, "forward+loss only    ")
+    t_grad = time_scan(grad_only, "value_and_grad       ")
+    print(f"  implied bwd: {t_grad - t_fwd:.1f} ms, opt+stats: "
+          f"{t_full - t_grad:.1f} ms")
+
+
 def main():
+    if any(a == "train" for a in sys.argv[1:]):
+        profile_train()
+        return
     dtype = jnp.bfloat16 if any("bf" in a for a in sys.argv[1:]) else jnp.float32
     bs = next((int(a) for a in sys.argv[1:] if a.isdigit()), 1)
     cfg = Config(

@@ -106,6 +106,20 @@ def main(pid, nproc, coord):
     kv_barrier("step_compiled")
     state, loss = c_step(state, batch, step_rng)
     print(f"MULTIHOST_LOSS {pid} {float(loss):.10f}", flush=True)
+
+    # sharded eval (VERDICT r2 item 7): each process sweeps a strided image
+    # subset single-device, (mean,count) merged via ONE process_allgather —
+    # must equal the single-process sweep bit-for-bit in expectation
+    from cfpnet_tpu.data.datasets import SyntheticDataset
+    from cfpnet_tpu.train.loop import evaluate_sharded
+
+    ecfg = cfg.replace(mode="online_eval")
+    eds = SyntheticDataset(ecfg, "online_eval", length=6)
+    kv_barrier("eval_start")
+    em = evaluate_sharded(model, ecfg, state.params, state.batch_stats, eds,
+                          protocol="validate", barrier_fn=kv_barrier)
+    print(f"MULTIHOST_EVAL {pid} {em['rmse']:.10f} {em['a1']:.10f}",
+          flush=True)
     kv_barrier("done")
 
 

@@ -40,6 +40,43 @@ def test_fft_dwconv_bf16_upcasts_internally():
     assert err.max() < 0.05 * rms, (err.max(), rms)
 
 
+def test_bn_running_stats_accumulate_f32():
+    """ADVICE r2: BN running stats must accumulate at f32 PRECISION, not
+    just f32 storage. train/steps.py passes batch_stats into model.apply
+    UNCAST under bf16; flax computes batch statistics in f32 and the
+    momentum update then stays f32, so increments below one bf16 ulp
+    survive. This pins that mechanism at the flax level."""
+    import flax.linen as nn
+
+    bn = nn.BatchNorm(use_running_average=False, momentum=0.99, epsilon=1e-5)
+    # batch mean ~ 1e-3 -> per-step ra increment ~ 1e-5, far below the bf16
+    # ulp at 1.0 (~7.8e-3); start ra_mean at 1.0 where bf16 would freeze it.
+    x = (jnp.full((64, 4), 1e-3) + 1e-4 * jnp.arange(4)).astype(jnp.bfloat16)
+    variables = bn.init(jax.random.key(0), x)
+    variables = {
+        "params": jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16), variables["params"]),
+        "batch_stats": {
+            "mean": jnp.ones((4,), jnp.float32),
+            "var": jnp.ones((4,), jnp.float32),
+        },
+    }
+    y, updates = bn.apply(variables, x, mutable=["batch_stats"])
+    assert y.dtype == jnp.bfloat16  # compute dtype unaffected by f32 stats
+    new_mean = updates["batch_stats"]["mean"]
+    assert new_mean.dtype == jnp.float32
+    # the sub-bf16-ulp increment must have landed
+    delta = np.asarray(new_mean) - 1.0
+    expected = 0.01 * (np.asarray(x, np.float32).mean(0) - 1.0)
+    np.testing.assert_allclose(delta, expected, rtol=1e-4)
+    # the same update through a bf16 accumulator would have been destroyed
+    frozen = np.asarray(
+        (0.99 * jnp.ones((4,), jnp.bfloat16)
+         + 0.01 * jnp.asarray(x, jnp.float32).mean(0).astype(jnp.bfloat16)
+         ).astype(jnp.float32))
+    assert not np.allclose(delta, frozen - 1.0, atol=1e-6)
+
+
 @pytest.mark.slow
 def test_mixed_precision_train_step(tiny_config):
     """--compute_dtype bfloat16 training: forward/backward in bf16, master

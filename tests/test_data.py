@@ -35,15 +35,19 @@ def test_synthetic_sample_shapes(tiny_config):
 def test_synthetic_eval_native_res(tiny_config):
     ds = SyntheticDataset(tiny_config, "online_eval", length=2)
     s = ds[0]
-    # eval samples ship raw uint8 (normalized on device — steps.py)
-    assert s["image_u8"].shape == (
+    # float-valued sources ship exact normalized f32 — only uint8-sourced
+    # datasets (jpg/h5) use the compact image_u8 path (ADVICE r2: the u8
+    # round-trip would quantize synthetic pixels by up to ~1/510)
+    assert "image_u8" not in s
+    assert s["image"].shape == (
         tiny_config.native_height, tiny_config.native_width, 3
     )
-    assert s["image_u8"].dtype == np.uint8
+    assert s["image"].dtype == np.float32
     from cfpnet_tpu.data.datasets import sample_image_f32
 
     f32 = sample_image_f32(s)
-    assert f32.dtype == np.float32 and f32.shape == s["image_u8"].shape
+    assert f32.dtype == np.float32 and f32.shape == s["image"].shape
+    np.testing.assert_array_equal(f32, s["image"])
 
 
 def test_dataloader_batching(tiny_config):

@@ -112,6 +112,100 @@ def test_roundtrip_values_identical(full_model_shapes):
     )
 
 
+@pytest.mark.slow
+def test_importer_cli_end_to_end_production_size(full_model_shapes, tmp_path,
+                                                 monkeypatch):
+    """VERDICT r2 item 5: the exact command chain a user holding the
+    reference's ``best.pt`` runs — fabricate a ``module.``-prefixed
+    reference-style B3 checkpoint, import it via the CLI
+    (``tools/import_torch_weights.py --kind reference --src --dst``), then
+    ``evaluate_all.py --selected_epoch imported`` on synthetic eval; the
+    metrics must be finite and identical to applying the same weights via
+    the library path. (Reference checkpoint format:
+    /root/reference/src/utils/model_io.py:34-55.)"""
+    import os
+    import sys
+
+    import torch
+
+    cfg, variables = full_model_shapes
+    rng = np.random.default_rng(7)
+
+    def init_like(s):
+        # small weights keep the random-init forward numerically tame
+        return (rng.standard_normal(s.shape) * 0.05).astype(np.float32)
+
+    rnd_params = jax.tree_util.tree_map(init_like, variables["params"])
+    rnd_stats = jax.tree_util.tree_map(init_like, variables["batch_stats"])
+    # BN var must be positive
+    def fix_stats(path, a):
+        name = str(path[-1].key) if hasattr(path[-1], "key") else str(path[-1])
+        return np.abs(a) + 0.5 if name == "var" else a
+    rnd_stats = jax.tree_util.tree_map_with_path(fix_stats, rnd_stats)
+
+    from tools.import_torch_weights import export_reference_style
+
+    sd = export_reference_style(rnd_params, rnd_stats, cfg)
+    ckpt = {"model": {f"module.{k}": torch.from_numpy(np.asarray(v))
+                      for k, v in sd.items()},
+            "epoch": 12}
+    src = tmp_path / "best.pt"
+    torch.save(ckpt, src)
+
+    monkeypatch.chdir(tmp_path)
+    dst = os.path.join("weights", "importer_e2e", "imported")
+    from tools.import_torch_weights import main as importer_main
+
+    monkeypatch.setattr(sys, "argv", [
+        "import_torch_weights.py", "--src", str(src), "--dst", dst,
+        "--kind", "reference",
+        "--n_bins", "256",
+        "--attention_layer", "hist2image", "combine1", "image",
+        "hist2image", "combine1", "image",
+        "--change_embedding", "--sample_uniform",
+    ])
+    importer_main()
+    assert os.path.isdir(dst)
+
+    # CLI eval over the imported checkpoint (1 synthetic frame, full size)
+    import evaluate_all
+
+    monkeypatch.setattr(sys, "argv", [
+        "evaluate_all.py", "--test_dataset", "synthetic",
+        "--name", "importer_e2e", "--selected_epoch", "imported",
+        "--save_dir", "results/importer_e2e", "--epochs", "1",
+        "--n_bins", "256",
+        "--attention_layer", "hist2image", "combine1", "image",
+        "hist2image", "combine1", "image",
+        "--change_embedding", "--sample_uniform", "--synthetic_length", "1",
+    ])
+    evaluate_all.main()
+    rows = open("results/importer_e2e/results.csv").read().strip().splitlines()
+    assert len(rows) == 2
+    cli_vals = [float(v) for v in rows[1].split(",")[1:]]
+    assert all(np.isfinite(v) for v in cli_vals)
+
+    # library path with the SAME weights -> identical metrics
+    from cfpnet_tpu.config import parse_config
+    from cfpnet_tpu.data.pipeline import make_loader
+    from cfpnet_tpu.models.deltar import make_model
+    from cfpnet_tpu.train.checkpoint import load_weights
+    from cfpnet_tpu.train.loop import evaluate
+
+    lib_cfg = cfg.replace(dataset_eval="synthetic", synthetic_length=1,
+                          mode="online_eval")
+    payload = load_weights(dst)
+    model = make_model(lib_cfg)
+    loader = make_loader(lib_cfg, "online_eval")
+    results = evaluate(model, lib_cfg, payload["params"],
+                       payload.get("batch_stats"), loader,
+                       protocol="evaluate_all")
+    lib_vals = [round(results[m], 3)
+                for m in ["a1", "a2", "a3", "abs_rel", "rmse", "log_10",
+                          "rmse_log", "silog", "sq_rel"]]
+    np.testing.assert_allclose(cli_vals, lib_vals, atol=1e-9)
+
+
 def test_timm_backbone_mapping_structure(full_model_shapes):
     """timm-style keys map onto the backbone subtree with correct shapes."""
     cfg, variables = full_model_shapes

@@ -27,8 +27,9 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def _single_process_loss():
-    """Same global batch + step on this process's 8 virtual devices."""
+def _single_process_loss_and_eval():
+    """Same global batch + step on this process's 8 virtual devices, then
+    the same 6-image eval sweep in one process."""
     import jax
 
     from cfpnet_tpu.data.datasets import SyntheticDataset
@@ -50,8 +51,17 @@ def _single_process_loss():
     rng = jax.random.key(cfg.seed)
     state = create_train_state(model, cfg, rng, batch, geoms, tx)
     step = make_train_step(model, cfg, geoms)
-    _, loss = step(state, batch, jax.random.fold_in(rng, 0))
-    return float(loss)
+    state, loss = step(state, batch, jax.random.fold_in(rng, 0))
+
+    from cfpnet_tpu.data.pipeline import make_loader
+    from cfpnet_tpu.train.loop import evaluate
+
+    ecfg = cfg.replace(mode="online_eval")
+    eds = SyntheticDataset(ecfg, "online_eval", length=6)
+    metrics = evaluate(model, ecfg, state.params, state.batch_stats,
+                       make_loader(ecfg, "online_eval", dataset=eds),
+                       protocol="validate")
+    return float(loss), metrics
 
 
 @pytest.mark.slow
@@ -73,15 +83,30 @@ def test_two_process_step_matches_single_process(tmp_path):
         outs.append(out)
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
-    losses = {}
+    losses, evals = {}, {}
     for out in outs:
         for line in out.splitlines():
             if line.startswith("MULTIHOST_LOSS"):
                 _, pid, val = line.split()
                 losses[int(pid)] = float(val)
+            if line.startswith("MULTIHOST_EVAL"):
+                _, pid, rmse, a1 = line.split()
+                evals[int(pid)] = (float(rmse), float(a1))
     assert set(losses) == {0, 1}, outs
     # both hosts computed the same (psum'd) global loss
     assert losses[0] == pytest.approx(losses[1], rel=1e-6)
 
-    ref = _single_process_loss()
+    ref, ref_metrics = _single_process_loss_and_eval()
     assert losses[0] == pytest.approx(ref, rel=1e-5), (losses, ref)
+
+    # sharded eval: both hosts return the IDENTICAL merged global metrics
+    # (each swept a different strided subset — the merge is the proof), and
+    # they match the single-process sweep of the same 6 images. The
+    # single-process bound is loose (5e-4): the distributed AdamW step's
+    # reduction order differs at the f32 lsb, so the evaluated params differ
+    # slightly (observed ~2e-5 on rmse) — same reason the loss check above
+    # is rel=1e-5, not exact.
+    assert set(evals) == {0, 1}, outs
+    assert evals[0] == pytest.approx(evals[1], rel=1e-9)
+    assert evals[0][0] == pytest.approx(ref_metrics["rmse"], rel=5e-4)
+    assert evals[0][1] == pytest.approx(ref_metrics["a1"], rel=5e-4)

@@ -133,6 +133,7 @@ def test_train_and_evaluate_on_extracted_tree(official_mat, tmp_path,
             "--sample_uniform",
             "--attention_layer", *cfg.attention_layer,
             "--change_embedding",
+            "--save_pred", "--save_rgb", "--save_error_map",
             ]
     monkeypatch.setattr(sys, "argv", argv)
     evaluate_all.main()
@@ -143,3 +144,17 @@ def test_train_and_evaluate_on_extracted_tree(official_mat, tmp_path,
     assert len(rows) == 2
     vals = rows[1].split(",")
     assert all(np.isfinite(float(v)) for v in vals)
+
+    # per-image dumps (VERDICT r2 item 6): per-scene folders keyed like the
+    # reference's image_folder (reference evaluate_all.py:71-77), one
+    # colorized PNG per enabled flag
+    from PIL import Image
+
+    for scene, frame in (("kitchen_0001", "rgb_00001"),
+                         ("office_0002", "rgb_00003")):
+        d = os.path.join("results/rehearsal", scene)
+        for kind in ("pred", "rgb", "error"):
+            p = os.path.join(d, f"{frame}_{kind}.png")
+            assert os.path.exists(p), p
+            im = np.asarray(Image.open(p))
+            assert im.shape == (480, 640, 3) and im.dtype == np.uint8

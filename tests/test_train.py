@@ -78,6 +78,41 @@ def test_compute_errors_matches_numpy_oracle():
         np.testing.assert_allclose(ours[k], v, rtol=1e-4, err_msg=k)
 
 
+def test_metric_step_protocol_bounds(tiny_config):
+    """VERDICT r2 item 3: the valid-mask bound pair must follow the
+    reference's two drivers — evaluate_all masks with min_depth/max_depth
+    (reference evaluate_all.py:80), validate with min_depth_eval/
+    max_depth_eval (reference train.py:198). With deliberately divergent
+    pairs the two protocols must differ exactly as the reference's do."""
+    from cfpnet_tpu.train.steps import make_metric_step
+
+    cfg = tiny_config.replace(
+        min_depth=0.5, max_depth=4.0, min_depth_eval=1e-3, max_depth_eval=10.0
+    )
+    rng = np.random.default_rng(3)
+    gt = rng.uniform(0.0, 12.0, (2, 16, 20, 1)).astype(np.float32)
+    pred = rng.uniform(0.1, 10.0, (2, 16, 20, 1)).astype(np.float32)
+
+    m_all, n_all = make_metric_step(cfg, protocol="evaluate_all")(
+        jnp.asarray(gt), jnp.asarray(pred))
+    m_val, n_val = make_metric_step(cfg, protocol="validate")(
+        jnp.asarray(gt), jnp.asarray(pred))
+
+    expect_all = ((gt > 0.5) & (gt < 4.0)).sum(axis=(1, 2, 3))
+    expect_val = ((gt > 1e-3) & (gt < 10.0)).sum(axis=(1, 2, 3))
+    np.testing.assert_array_equal(np.asarray(n_all), expect_all)
+    np.testing.assert_array_equal(np.asarray(n_val), expect_val)
+    assert not np.array_equal(np.asarray(n_all), np.asarray(n_val))
+    assert not np.allclose(np.asarray(m_all["rmse"]), np.asarray(m_val["rmse"]))
+    # under the production config both pairs coincide, so the protocols agree
+    m1, n1 = make_metric_step(tiny_config, protocol="evaluate_all")(
+        jnp.asarray(gt), jnp.asarray(pred))
+    m2, n2 = make_metric_step(tiny_config, protocol="validate")(
+        jnp.asarray(gt), jnp.asarray(pred))
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
+    np.testing.assert_allclose(np.asarray(m1["rmse"]), np.asarray(m2["rmse"]))
+
+
 def test_param_group_labels():
     params = {
         "img_encoder": {"backbone": {"conv_stem": {"kernel": 0}}},

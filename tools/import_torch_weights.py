@@ -390,8 +390,11 @@ def main():
     ap.add_argument("--src", required=True, help="torch checkpoint (.pt)")
     ap.add_argument("--dst", required=True, help="output orbax checkpoint dir")
     ap.add_argument("--kind", choices=["timm", "reference"], default="reference")
-    ap.add_argument("config_args", nargs="*", default=[])
-    args = ap.parse_args()
+    # every remaining arg (flags or @argfiles) is forwarded to parse_config —
+    # the import must be built against the same topology the user trains/
+    # evals with (n_bins, attention_layer, ...)
+    args, config_args = ap.parse_known_args()
+    args.config_args = config_args
 
     import torch
 
