@@ -11,6 +11,16 @@ lanes plus a scoped-VMEM staging quirk of this stack for batched calls
 (tests/test_pallas_*.py) and per-process switchable
 (``set_use_pallas(True)`` / ``--use_pallas``) as the fallback path for
 stacks where the XLA FFT lowering regresses.
+
+Round 3 closed the Pallas axis (full margin table in PARITY.md): a third
+kernel — the WHOLE LoFTR encoder layer fused into one VMEM-resident pass
+(``ops/pallas_loftr.py``) — also loses to XLA on this stack (0.94 vs
+0.54 ms for the bs=8 1/4-scale window stack; Mosaic compile failure at
+C=64). The kernels stay as tested fallbacks. The round-3 large-kernel-conv
+win came from XLA itself: the FFT convolution re-expressed as explicit DFT
+matmuls on the MXU (``ops/dwconv._dft_depthwise``, 4x faster than the
+``jnp.fft`` lowering at equal accuracy) — that path is DEFAULT-ON on TPU
+inside ``depthwise_conv2d`` and is orthogonal to this flag.
 """
 
 from __future__ import annotations

@@ -11,7 +11,11 @@ XLA:TPU lowers well; a Pallas kernel variant is provided in
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 
@@ -43,7 +47,14 @@ def depthwise_conv2d(
     kh, kw = kernel.shape[0], kernel.shape[1]
     pad = [((kh - 1) // 2, (kh - 1) // 2), ((kw - 1) // 2, (kw - 1) // 2)]
     if min(kh, kw) >= fft_threshold:
-        out = _fft_depthwise(x, kernel)
+        if jax.default_backend() == "tpu":
+            # XLA:TPU's fft lowering is ~4x slower than the same transform
+            # as explicit DFT matmuls (measured r3: k=31 @120x160x32 bs=8
+            # net 2.30 ms fft vs 0.59 ms DFT at HIGHEST precision, equal
+            # accuracy). CPU keeps jnp.fft (faster there, and pins goldens).
+            out = _dft_depthwise(x, kernel, precision=lax.Precision.HIGHEST)
+        else:
+            out = _fft_depthwise(x, kernel)
     elif c <= densify_threshold:
         # dense[ky,kx,i,o] = kernel[ky,kx,0,o] if i == o else 0
         dense = kernel.reshape(kh, kw, 1, c) * jnp.eye(c, dtype=kernel.dtype)[None, None]
@@ -60,6 +71,114 @@ def depthwise_conv2d(
     if bias is not None:
         out = out + bias
     return out
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_mats(H: int, W: int, kh: int, kw: int):
+    """Constant DFT/inverse-DFT matrices for the linear convolution
+    y = crop(idft2(dft2(x) * dft2(flip(k)))) with transform sizes
+    FH=H+kh-1, FW=W+kw-1, expressed so that
+
+    - the zero-padding of x is folded into TRUNCATED forward matrices
+      (only the first H rows / W columns of the DFT are kept), and
+    - the SAME-crop (rows ph..ph+H, cols pw..pw+W of the full linear
+      convolution) is folded into the inverse matrices.
+
+    Returns float64 numpy arrays; callers cast.
+    """
+    FH, FW = H + kh - 1, W + kw - 1
+    Fw = FW // 2 + 1  # rfft bins along the minor (W) axis
+    ph, pw = (kh - 1) // 2, (kw - 1) // 2
+
+    n = np.arange(W)[:, None]
+    f = np.arange(Fw)[None, :]
+    ang = -2 * np.pi * n * f / FW
+    CW, SW = np.cos(ang), np.sin(ang)  # [W, Fw] forward rfft (x rows 0..W-1)
+
+    nk = np.arange(kw)[:, None]
+    angk = -2 * np.pi * nk * f / FW
+    CWk, SWk = np.cos(angk), np.sin(angk)  # [kw, Fw] kernel forward
+
+    h = np.arange(H)[:, None]
+    g = np.arange(FH)[None, :]
+    angh = -2 * np.pi * h * g / FH
+    CH, SH = np.cos(angh), np.sin(angh)  # [H, FH] full DFT, x rows 0..H-1
+
+    hk = np.arange(kh)[:, None]
+    anghk = -2 * np.pi * hk * g / FH
+    CHk, SHk = np.cos(anghk), np.sin(anghk)  # [kh, FH]
+
+    # inverse along H onto cropped output rows ph..ph+H-1 (full complex sum)
+    m = np.arange(H)[None, :] + ph
+    angi = 2 * np.pi * np.arange(FH)[:, None] * m / FH
+    IHC, IHS = np.cos(angi) / FH, np.sin(angi) / FH  # [FH, H]
+
+    # inverse rfft along W onto cropped cols pw..pw+W-1 with hermitian
+    # weights (1 for DC and, when FW is even, the Nyquist bin; else 2)
+    wgt = np.full(Fw, 2.0)
+    wgt[0] = 1.0
+    if FW % 2 == 0:
+        wgt[-1] = 1.0
+    mw = np.arange(W)[None, :] + pw
+    angw = 2 * np.pi * np.arange(Fw)[:, None] * mw / FW
+    IWC = wgt[:, None] * np.cos(angw) / FW  # [Fw, W]
+    IWS = wgt[:, None] * np.sin(angw) / FW
+    return (CW, SW, CWk, SWk, CH, SH, CHk, SHk, IHC, IHS, IWC, IWS)
+
+
+def _dft_depthwise(x: jnp.ndarray, kernel: jnp.ndarray,
+                   mat_dtype=jnp.float32, precision=None) -> jnp.ndarray:
+    """Linear convolution via EXPLICIT DFT matmuls on the MXU.
+
+    Mathematically identical to ``_fft_depthwise`` (same transform sizes,
+    same kernel flip); exists because XLA:TPU lowers ``fft`` through a slow
+    generic path (measured ~2.3 ms for k=31 @120x160x32 bs=8 on a v5e,
+    an effective ~9 GF-f32/s) while the same transform written as dense
+    DFT matmuls with the zero-pad/crop folded into truncated matrices is
+    ~11 GF that the MXU streams at normal matmul rates. Accumulation is
+    f32 (``preferred_element_type``); matrices are stored in ``mat_dtype``
+    (f32 by default — bf16 halves MXU passes at ~1e-3 extra relative
+    error, within the bf16 mode's drift budget).
+    """
+    B, H, W, C = x.shape
+    kh, kw = kernel.shape[0], kernel.shape[1]
+    in_dtype = x.dtype
+    mats = [jnp.asarray(m, mat_dtype) for m in _dft_mats(H, W, kh, kw)]
+    CW, SW, CWk, SWk, CH, SH, CHk, SHk, IHC, IHS, IWC, IWS = mats
+    f32 = jnp.promote_types(jnp.dtype(mat_dtype), jnp.float32)
+    dot = functools.partial(jnp.einsum, preferred_element_type=f32,
+                            precision=precision)
+
+    xt = jnp.transpose(x, (0, 3, 1, 2)).astype(mat_dtype)  # [B,C,H,W]
+    # W-axis forward rfft
+    re1 = dot("bchw,wf->bchf", xt, CW)
+    im1 = dot("bchw,wf->bchf", xt, SW)
+    # H-axis forward full DFT (complex): (re1+i*im1) * (CH+i*SH) along h
+    re1, im1 = re1.astype(mat_dtype), im1.astype(mat_dtype)
+    re2 = dot("bchf,hg->bcgf", re1, CH) - dot("bchf,hg->bcgf", im1, SH)
+    im2 = dot("bchf,hg->bcgf", re1, SH) + dot("bchf,hg->bcgf", im1, CH)
+
+    # kernel spectrum (flip: correlation == convolution with flipped kernel)
+    kt = jnp.transpose(kernel[::-1, ::-1, 0, :], (2, 0, 1)).astype(mat_dtype)
+    kre1 = dot("ckw,wf->ckf", kt, CWk)
+    kim1 = dot("ckw,wf->ckf", kt, SWk)
+    kre1, kim1 = kre1.astype(mat_dtype), kim1.astype(mat_dtype)
+    kre = (dot("ckf,kg->cgf", kre1, CHk) - dot("ckf,kg->cgf", kim1, SHk))
+    kim = (dot("ckf,kg->cgf", kre1, SHk) + dot("ckf,kg->cgf", kim1, CHk))
+
+    # pointwise complex product
+    re2, im2 = re2.astype(f32), im2.astype(f32)
+    pr = re2 * kre[None] - im2 * kim[None]
+    pi = re2 * kim[None] + im2 * kre[None]
+
+    # inverse H (complex), directly onto the cropped output rows
+    pr, pi = pr.astype(mat_dtype), pi.astype(mat_dtype)
+    re3 = dot("bcgf,gh->bchf", pr, IHC) - dot("bcgf,gh->bchf", pi, IHS)
+    im3 = dot("bcgf,gh->bchf", pr, IHS) + dot("bcgf,gh->bchf", pi, IHC)
+    # inverse rfft W (real output), onto the cropped output cols
+    re3, im3 = re3.astype(mat_dtype), im3.astype(mat_dtype)
+    out = dot("bchf,fw->bchw", re3, IWC) - dot("bchf,fw->bchw", im3, IWS)
+    return jnp.transpose(out, (0, 2, 3, 1)).astype(in_dtype)
 
 
 def _fft_depthwise(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:

@@ -26,7 +26,7 @@ from cfpnet_tpu.utils.cache import enable_compilation_cache
 
 enable_compilation_cache()
 
-N_CHAIN = 10
+N_CHAIN = 50  # the tunnel roundtrip (~30 ms) divides by this: keep it large
 
 
 def chain_time(apply_fn, x0, *extra):
@@ -40,7 +40,10 @@ def chain_time(apply_fn, x0, *extra):
         def body(i, acc):
             y = apply_fn(acc, *extra)
             leaves = jax.tree_util.tree_leaves(y)
-            s = leaves[0].reshape(-1)[0] * 1e-30
+            # chain through a MEAN of the output, not a single element: a
+            # sliced scalar would let XLA narrow convolutions to the one
+            # consumed output pixel and understate conv-heavy components
+            s = jnp.mean(leaves[0].astype(jnp.float32)) * 1e-30
             return x + s.astype(x.dtype)
 
         return jnp.sum(jax.lax.fori_loop(0, N_CHAIN, body, x))
@@ -144,6 +147,7 @@ def profile_train():
             if jnp.issubdtype(x.dtype, jnp.floating) else x, p, g)
 
     print(f"[train {dtype} bs={bs} 416x544 remat={cfg.remat}]")
+    t_floor = time_scan(lambda p, i: p, "chain floor          ")
     t_full = time_scan(full, "full step (fwd+bwd+opt)")
     t_fwd = time_scan(fwd_only, "forward+loss only    ")
     t_grad = time_scan(grad_only, "value_and_grad       ")
@@ -174,6 +178,9 @@ def main():
     img = jnp.zeros((bs, h, w, 3), dtype)
     hist = jnp.full((bs, 64, 16), 2.0, dtype)
     mask = jnp.ones((bs, 64), bool)
+    floor = chain_time(lambda x: x * 1.000001, img)
+    print(f"[{dtype.__name__} bs={bs}] chain floor (dispatch+roundtrip): "
+          f"{floor:.3f} ms — subtract from every line below")
     variables = cast(jax.jit(
         lambda r: model.init({"params": r, "fusion": r}, img, hist, mask, geoms,
                              train=False)

@@ -1,0 +1,106 @@
+"""DFT-matmul depthwise convolution: equivalence + gradients.
+
+``ops.dwconv._dft_depthwise`` is the TPU production path for large-kernel
+depthwise convs (dispatched in ``depthwise_conv2d`` when the default
+backend is TPU); on CPU the dispatcher keeps ``_fft_depthwise``. These
+tests pin the DFT formulation to the FFT/linear-convolution semantics the
+goldens and the f64 reference-parity test are built on
+(reference conv: /root/reference/src/models/convnext.py:30).
+"""
+
+from contextlib import contextmanager
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import lax
+
+from cfpnet_tpu.ops.dwconv import _dft_depthwise, _fft_depthwise, depthwise_conv2d
+
+
+@contextmanager
+def enable_x64():
+    old = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_enable_x64", old)
+
+
+def _direct(x, kernel):
+    c = x.shape[-1]
+    kh, kw = kernel.shape[:2]
+    pad = [((kh - 1) // 2,) * 2, ((kw - 1) // 2,) * 2]
+    return lax.conv_general_dilated(
+        x, kernel, (1, 1), pad, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c, precision=lax.Precision.HIGHEST)
+
+
+@pytest.mark.parametrize("shape,k", [((2, 24, 30, 4), 15), ((1, 40, 52, 8), 31),
+                                     ((2, 17, 19, 3), 13)])
+def test_dft_matches_direct_f64(shape, k):
+    with enable_x64():
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(*shape), jnp.float64)
+        kern = jnp.asarray(rng.randn(k, k, 1, shape[-1]), jnp.float64)
+        got = _dft_depthwise(x, kern, mat_dtype=jnp.float64)
+        ref = _direct(x, kern)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-10, atol=1e-10)
+
+
+def test_dft_matches_fft_f32():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 30, 40, 8), jnp.float32)
+    kern = jnp.asarray(rng.randn(15, 15, 1, 8) * 0.1, jnp.float32)
+    got = _dft_depthwise(x, kern)
+    ref = _fft_depthwise(x, kern)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=5e-4)
+
+
+def test_dft_even_kernel_free_sizes():
+    # transform sizes H+k-1 are whatever they are (no smooth rounding);
+    # cover an odd H/W pair where FW is odd (hermitian weights edge case)
+    with enable_x64():
+        rng = np.random.RandomState(2)
+        x = jnp.asarray(rng.randn(1, 9, 12, 2), jnp.float64)
+        kern = jnp.asarray(rng.randn(13, 13, 1, 2), jnp.float64)
+        got = _dft_depthwise(x, kern, mat_dtype=jnp.float64)
+        ref = _direct(x, kern)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-10, atol=1e-10)
+
+
+def test_dft_gradients_match_fft():
+    with enable_x64():
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.randn(1, 12, 14, 3), jnp.float64)
+        kern = jnp.asarray(rng.randn(13, 13, 1, 3) * 0.1, jnp.float64)
+
+        def loss(fn, xx, kk):
+            return jnp.sum(jnp.sin(fn(xx, kk)))
+
+        gx_d, gk_d = jax.grad(
+            lambda a, b: loss(
+                lambda p, q: _dft_depthwise(p, q, mat_dtype=jnp.float64), a, b),
+            argnums=(0, 1))(x, kern)
+        gx_f, gk_f = jax.grad(
+            lambda a, b: loss(_fft_depthwise, a, b), argnums=(0, 1))(x, kern)
+        np.testing.assert_allclose(np.asarray(gx_d), np.asarray(gx_f),
+                                   rtol=1e-8, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(gk_d), np.asarray(gk_f),
+                                   rtol=1e-8, atol=1e-8)
+
+
+def test_dispatch_unchanged_on_cpu():
+    # the public dispatcher keeps the FFT path off-TPU, so goldens and the
+    # f64 reference-parity suite are unaffected by the TPU-only DFT path
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(1, 20, 22, 4), jnp.float32)
+    kern = jnp.asarray(rng.randn(13, 13, 1, 4) * 0.1, jnp.float32)
+    got = depthwise_conv2d(x, kern)
+    ref = _fft_depthwise(x, kern)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
