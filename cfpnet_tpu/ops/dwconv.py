@@ -52,7 +52,14 @@ def depthwise_conv2d(
             # as explicit DFT matmuls (measured r3: k=31 @120x160x32 bs=8
             # net 2.30 ms fft vs 0.59 ms DFT at HIGHEST precision, equal
             # accuracy). CPU keeps jnp.fft (faster there, and pins goldens).
-            out = _dft_depthwise(x, kernel, precision=lax.Precision.HIGHEST)
+            # Under the guarded bf16 compute mode the matrices are bf16 at
+            # DEFAULT precision (one MXU pass instead of f32-HIGHEST's six;
+            # ~1e-3 extra relative error, inside the mode's drift budget —
+            # tests/test_dwconv_dft.py::test_dft_depthwise_bf16_accuracy).
+            if x.dtype == jnp.bfloat16:
+                out = _dft_depthwise(x, kernel, mat_dtype=jnp.bfloat16)
+            else:
+                out = _dft_depthwise(x, kernel, precision=lax.Precision.HIGHEST)
         else:
             out = _fft_depthwise(x, kernel)
     elif c <= densify_threshold:

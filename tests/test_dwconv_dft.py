@@ -95,6 +95,37 @@ def test_dft_gradients_match_fft():
                                    rtol=1e-8, atol=1e-8)
 
 
+def test_dft_depthwise_bf16_accuracy():
+    """bf16-matrix DFT (the TPU dispatch for bf16 inputs) stays within the
+    bf16 mode's drift budget vs the exact f64 direct conv.
+
+    bf16 matmuls accumulate in f32 on both CPU and the MXU, so this bound
+    measured on CPU transfers to the TPU path."""
+    with enable_x64():
+        rng = np.random.RandomState(5)
+        # production-like magnitudes: unit-scale activations, small kernel
+        x64 = rng.randn(2, 30, 40, 8)
+        k64 = rng.randn(15, 15, 1, 8) * 0.1
+        ref = _direct(jnp.asarray(x64), jnp.asarray(k64))
+        xb = jnp.asarray(x64, jnp.bfloat16)
+        kb = jnp.asarray(k64, jnp.bfloat16)
+        # jit: XLA:CPU's eager per-op path cannot execute bf16 dots
+        got = jax.jit(
+            lambda a, b: _dft_depthwise(a, b, mat_dtype=jnp.bfloat16)
+        )(xb, kb)
+        # the unavoidable noise floor: the same conv computed exactly from
+        # the bf16-rounded inputs (what ANY bf16 conv pays)
+        floor = _direct(xb.astype(jnp.float64), kb.astype(jnp.float64))
+        scale = np.abs(np.asarray(ref)).mean()
+        err = np.abs(np.asarray(got, np.float64) - np.asarray(ref)) / scale
+        err_floor = np.abs(np.asarray(floor) - np.asarray(ref)) / scale
+        # budget: <= 4x the bf16-input floor in both mean and max norm, and
+        # an absolute ceiling of 5% of the mean output magnitude
+        assert err.mean() < 4 * err_floor.mean(), (err.mean(), err_floor.mean())
+        assert err.max() < max(4 * err_floor.max(), 5e-2), (
+            err.max(), err_floor.max())
+
+
 def test_dispatch_unchanged_on_cpu():
     # the public dispatcher keeps the FFT path off-TPU, so goldens and the
     # f64 reference-parity suite are unaffected by the TPU-only DFT path
