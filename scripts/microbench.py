@@ -181,6 +181,153 @@ def bench_se():
     print(f"  SE @{H}x{W}x{C} bs={B}: {chain_time(lambda a: se.apply(v, a), x):.4f} ms")
 
 
+def bench_attn():
+    """Fusion@1/4 anatomy (the bs=8 wall's biggest block, 5.4 ms): per-block
+    costs at production shapes (C=32, nhead=8 -> head dim 4, 120x160 map),
+    and the per-head einsum vs block-diagonal matmul reformulation of
+    linear attention."""
+    from cfpnet_tpu.config import Config
+    from cfpnet_tpu.models.deltar import model_geometries
+    from cfpnet_tpu.models.transformer import (Combine1, LoFTREncoderLayer,
+                                               TwinsTransformer)
+    from cfpnet_tpu.ops.attention import elu_feature_map, linear_attention
+
+    print(f"[attn] chain floor: {floor_ms():.4f} ms")
+    B, H, W, C, NH = 8, 120, 160, 32, 8
+    L, S = H * W, 64 * 16
+    dt = jnp.bfloat16
+    rng = jax.random.key(0)
+    x = jnp.asarray(np.random.randn(B, L, C), dt)
+    src = jnp.asarray(np.random.randn(B, S, C), dt)
+
+    def cast(t):
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(dt)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, t)
+
+    # 1) whole-block costs
+    lo = LoFTREncoderLayer(C, NH)
+    lov = cast(jax.jit(lo.init)(rng, x, src))
+    print(f"  hist2image (LoFTR L={L} S={S}): "
+          f"{chain_time(lambda a: lo.apply(lov, a, src), x):.4f} ms")
+    tw = TwinsTransformer(C, 12)
+    twv = cast(jax.jit(lambda r: tw.init(r, x, (H, W)))(rng))
+    print(f"  image (Twins LSA+GSA ws=12):    "
+          f"{chain_time(lambda a: tw.apply(twv, a, (H, W)), x):.4f} ms")
+    cfg = Config(n_bins=256, sample_uniform=True, change_embedding=True,
+                 attention_layer=["hist2image", "combine1", "image",
+                                  "hist2image", "combine1", "image"])
+    g4 = model_geometries(cfg, "online_eval")[4]
+    rect = (g4.zy0, g4.zy1, g4.zx0, g4.zx1)
+    cb = Combine1(C, NH, 31)
+    cbv = cast(jax.jit(lambda r: cb.init(r, x, rect, H, W))(rng))
+    print(f"  combine1 (newcross9+Block14):   "
+          f"{chain_time(lambda a: cb.apply(cbv, a, rect, H, W), x):.4f} ms")
+
+    # 2) the attention einsum alone: per-head vs block-diagonal
+    q = jnp.asarray(np.random.randn(B, L, NH, C // NH), dt)
+    k = jnp.asarray(np.random.randn(B, S, NH, C // NH), dt)
+    v = jnp.asarray(np.random.randn(B, S, NH, C // NH), dt)
+
+    def blockdiag(qq):
+        D = C // NH
+        Q = elu_feature_map(qq).reshape(B, L, C)
+        K = elu_feature_map(k).reshape(B, S, C)
+        V = (v / S).reshape(B, S, C)
+        bd = jnp.asarray(np.kron(np.eye(NH), np.ones((D, D))), dt)  # (C,C)
+        KV = jnp.einsum("nsc,nsd->ncd", K, V) * bd
+        ks = K.sum(axis=1)  # (n, C)
+        e = jnp.asarray(np.kron(np.eye(NH), np.ones((D, 1))), dt)  # (C,NH)
+        Z = 1.0 / (jnp.einsum("nlc,nch->nlh", Q, ks[:, :, None] * e) + 1e-6)
+        out = jnp.einsum("nlc,ncd->nld", Q, KV)
+        out = out.reshape(B, L, NH, D) * Z[..., None] * S
+        return out
+
+    t1 = chain_time(lambda qq: linear_attention(qq, k, v), q)
+    t2 = chain_time(blockdiag, q)
+    d = float(jnp.max(jnp.abs(
+        linear_attention(q, k, v).astype(jnp.float32)
+        - blockdiag(q).astype(jnp.float32))))
+    print(f"  linear_attention L={L} S={S}: per-head {t1:.4f} ms | "
+          f"block-diag {t2:.4f} ms | maxdiff {d:.2e}")
+    # self-attention shape (LSA windows): many small batches
+    qw = jnp.asarray(np.random.randn(B * 140, 144, NH, C // NH), dt)
+    t1 = chain_time(lambda qq: linear_attention(qq, qq, qq), qw)
+    print(f"  linear_attention windows (1120x144): per-head {t1:.4f} ms")
+
+
+def bench_attn2():
+    """Bisect combine1 (1.35 ms) and Twins (0.97 ms) at 1/4 scale, bs=8."""
+    import flax.linen as nn
+
+    from cfpnet_tpu.config import Config
+    from cfpnet_tpu.models.convnext import Block14
+    from cfpnet_tpu.models.deltar import model_geometries
+    from cfpnet_tpu.models.transformer import (GlobalSubSampleAttn,
+                                               LocallyGroupedAttn,
+                                               LoFTRNewCross9)
+    from cfpnet_tpu.ops.dwconv import _dft_depthwise
+
+    print(f"[attn2] chain floor: {floor_ms():.4f} ms")
+    B, H, W, C, NH = 8, 120, 160, 32, 8
+    L = H * W
+    dt = jnp.bfloat16
+    rng = jax.random.key(0)
+    x = jnp.asarray(np.random.randn(B, L, C), dt)
+    x2d = x.reshape(B, H, W, C)
+
+    def cast(t):
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(dt)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, t)
+
+    cfg = Config(n_bins=256, sample_uniform=True, change_embedding=True,
+                 attention_layer=["hist2image", "combine1", "image",
+                                  "hist2image", "combine1", "image"])
+    g4 = model_geometries(cfg, "online_eval")[4]
+    rect = (g4.zy0, g4.zy1, g4.zx0, g4.zx1)
+
+    nc = LoFTRNewCross9(C, NH)
+    ncv = cast(jax.jit(lambda r: nc.init(r, x, rect, H, W))(rng))
+    print(f"  newcross9:            "
+          f"{chain_time(lambda a: nc.apply(ncv, a, rect, H, W), x):.4f} ms")
+
+    b14 = Block14(C, 31)
+    b14v = cast(jax.jit(lambda r: b14.init(r, x2d))(rng))
+    print(f"  Block14 k=31:         "
+          f"{chain_time(lambda a: b14.apply(b14v, a), x2d):.4f} ms")
+
+    kern = jnp.asarray(np.random.randn(31, 31, 1, C) * 0.1, dt)
+    print(f"  dft dwconv k=31 bf16: "
+          f"{chain_time(lambda a: _dft_depthwise(a, kern, mat_dtype=dt), x2d):.4f} ms")
+
+    conv = nn.Conv(C, (3, 3), padding=1, use_bias=False)
+    y2 = jnp.concatenate([x2d, x2d], axis=-1)
+    cv = cast(jax.jit(lambda r: conv.init(r, y2))(rng))
+    print(f"  conv3x3 64->32:       "
+          f"{chain_time(lambda a: conv.apply(cv, a), y2):.4f} ms")
+
+    lga = LocallyGroupedAttn(C, 12)
+    lgav = cast(jax.jit(lambda r: lga.init(r, x, (H, W)))(rng))
+    print(f"  LSA ws=12:            "
+          f"{chain_time(lambda a: lga.apply(lgav, a, (H, W)), x):.4f} ms")
+
+    gsa = GlobalSubSampleAttn(C, 12)
+    gsav = cast(jax.jit(lambda r: gsa.init(r, x, (H, W)))(rng))
+    print(f"  GSA sr=12:            "
+          f"{chain_time(lambda a: gsa.apply(gsav, a, (H, W)), x):.4f} ms")
+
+    # LayerNorm cost at this width (suspect: small-C LN is VPU/bandwidth)
+    ln = nn.LayerNorm(epsilon=1e-5)
+    lnv = cast(jax.jit(ln.init)(rng, x))
+    print(f"  LayerNorm (L={L}xC32): "
+          f"{chain_time(lambda a: ln.apply(lnv, a), x):.4f} ms")
+    bn = nn.BatchNorm(use_running_average=True, momentum=0.9, epsilon=1e-5)
+    bnv = cast(jax.jit(bn.init)(rng, x2d))
+    print(f"  BatchNorm (eval):     "
+          f"{chain_time(lambda a: bn.apply(bnv, a), x2d):.4f} ms")
+
+
 def main():
     which = set(sys.argv[1:]) or {"dw3", "dft"}
     if "dw3" in which:
@@ -191,6 +338,10 @@ def main():
         bench_int8()
     if "se" in which:
         bench_se()
+    if "attn" in which:
+        bench_attn()
+    if "attn2" in which:
+        bench_attn2()
 
 
 if __name__ == "__main__":
