@@ -328,6 +328,68 @@ def bench_attn2():
           f"{chain_time(lambda a: bn.apply(bnv, a), x2d):.4f} ms")
 
 
+def bench_s2d():
+    """Space-to-depth conv trick at the small-C hot shapes: a 3x3 conv on
+    C channels == a 2x2 conv on the 2x2-space-to-depth layout with 4C
+    channels (structured-sparse kernel, zeros elsewhere). 1.78x the FLOPs
+    but 4x the MXU lane utilization when C=32 pads 32->128."""
+    print(f"[s2d] chain floor: {floor_ms():.4f} ms")
+    B = 8
+    for (H, W, Cin, Cout) in [(120, 160, 64, 32), (120, 160, 32, 32),
+                              (240, 320, 64, 64)]:
+        x = jnp.asarray(np.random.randn(B, H, W, Cin), jnp.bfloat16)
+        k = jnp.asarray(np.random.randn(3, 3, Cin, Cout) * 0.05, jnp.bfloat16)
+
+        def plain(a):
+            return lax.conv_general_dilated(
+                a, k, (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        # Equivalent (2,2,4Cin,4Cout) kernel: input s2d on the natural grid
+        # (block b = rows 2b,2b+1); OUTPUT blocks on a SHIFTED grid (block Y
+        # = rows 2Y-1, 2Y), so each output block's 4-row receptive field
+        # aligns to exactly 2 input blocks. Conv padding (1,1) per axis
+        # yields H/2+1 output blocks; d2s then slice [1:H+1] drops the
+        # out-of-range first/last shifted rows. Tap math: input row
+        # 2(Y+t-1)+iy minus output row 2Y-1+oy' gives dy = 2t+iy-oy'-1,
+        # valid taps dy in [-1,1].
+        k4 = np.zeros((2, 2, 4 * Cin, 4 * Cout), np.float32)
+        kn = np.asarray(k, np.float32)
+        for oy in range(2):
+            for ox in range(2):
+                for ty in range(2):
+                    for tx in range(2):
+                        for iy in range(2):
+                            for ix in range(2):
+                                dy = 2 * ty + iy - oy - 1
+                                dx = 2 * tx + ix - ox - 1
+                                if -1 <= dy <= 1 and -1 <= dx <= 1:
+                                    k4[ty, tx,
+                                       (iy * 2 + ix) * Cin:(iy * 2 + ix + 1) * Cin,
+                                       (oy * 2 + ox) * Cout:(oy * 2 + ox + 1) * Cout] \
+                                        = kn[dy + 1, dx + 1]
+        k4 = jnp.asarray(k4, jnp.bfloat16)
+
+        def s2d(a):
+            # NHWC (B,H,W,C) -> (B,H/2,W/2,4C) with subpixel-major channels
+            a4 = a.reshape(B, H // 2, 2, W // 2, 2, Cin).transpose(
+                0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * Cin)
+            o4 = lax.conv_general_dilated(
+                a4, k4, (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            # depth-to-space on the shifted grid: rows -1..H, cols -1..W
+            o = o4.reshape(B, H // 2 + 1, W // 2 + 1, 2, 2, Cout).transpose(
+                0, 1, 3, 2, 4, 5).reshape(B, H + 2, W + 2, Cout)
+            return o[:, 1:H + 1, 1:W + 1, :]
+
+        t1 = chain_time(plain, x)
+        t2 = chain_time(s2d, x)
+        d = float(jnp.max(jnp.abs(plain(x).astype(jnp.float32)
+                                  - s2d(x).astype(jnp.float32))))
+        print(f"  conv3x3 {H}x{W} {Cin}->{Cout}: plain {t1:.4f} ms | "
+              f"s2d {t2:.4f} ms | maxdiff {d:.2e}")
+
+
 def main():
     which = set(sys.argv[1:]) or {"dw3", "dft"}
     if "dw3" in which:
@@ -342,6 +404,8 @@ def main():
         bench_attn()
     if "attn2" in which:
         bench_attn2()
+    if "s2d" in which:
+        bench_s2d()
 
 
 if __name__ == "__main__":
