@@ -157,13 +157,13 @@ def bench_int8():
         t8 = chain_time(lambda a: lax.dot(
             a, bi, preferred_element_type=jnp.int32), ai)
         print(f"  dot {M}^3 int8: {t8:.4f} ms "
-              f"({2 * M * K * N / t8 / 1e9:.1f} GFLOP/s-equiv)")
+              f"({2 * M * K * N / (t8 / 1e3) / 1e12:.1f} TOP/s)")
     except Exception as e:  # noqa: BLE001
         print(f"  dot int8 FAILED: {type(e).__name__}: {e}")
     tb = chain_time(lambda a: lax.dot(
         a, bb, preferred_element_type=jnp.float32), ab)
     print(f"  dot {M}^3 bf16: {tb:.4f} ms "
-          f"({2 * M * K * N / tb / 1e9:.1f} GFLOP/s)")
+          f"({2 * M * K * N / (tb / 1e3) / 1e12:.1f} TFLOP/s)")
 
 
 def bench_se():
