@@ -127,6 +127,26 @@ def test_final_epoch_always_checkpoints(tmp_path, tiny_config, monkeypatch):
 
 
 @pytest.mark.slow
+def test_run_training_device_pipeline(tmp_path, tiny_config, monkeypatch):
+    """The --device_pipeline wiring in run_training (loop.py:231-243 first-
+    batch prep + 262-278 per-step device_prep): a 1-epoch run completes
+    with finite loss/metrics and a checkpoint. (The full fast path was also
+    rehearsed for 6 epochs on real TPU — PARITY.md round-3 notes.)"""
+    from cfpnet_tpu.train.loop import run_training
+
+    monkeypatch.chdir(tmp_path)
+    cfg = tiny_config.replace(
+        epochs=1, validate_every=1, dataset="synthetic",
+        dataset_eval="synthetic", synthetic_length=4, device_pipeline=True,
+        name="devpipe_t", save_dir="results/devpipe_t",
+    )
+    state = run_training(cfg, tiny=True, max_steps_per_epoch=2)
+    leaves = jax.tree_util.tree_leaves(state.params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert "best" in os.listdir("checkpoints/devpipe_t")
+
+
+@pytest.mark.slow
 def test_eval_subnative_resolution_without_rng(tiny_config):
     """Eval forward at the train crop size (below native) with train=False
     and no rngs: the fusion positional crop must fall back deterministically."""
