@@ -156,16 +156,55 @@ def _std_normal_icdf_grid(zone_sample_num: int) -> np.ndarray:
     non-``sample_uniform`` mode: evenly spaced quantiles over
     [delta, 1-delta], delta=1e-3 (reference src/utils/dataloader.py:68-72).
 
-    scipy-free: ``torch.special.ndtri`` is the same kernel the reference's
-    ``torch.distributions.Normal.icdf`` dispatches to, so this is the
-    reference computation itself, not an approximation of it."""
-    import torch
-
+    Dependency-free in production: prefers ``scipy.special.ndtri`` / torch's
+    ``ndtri`` (the exact kernel the reference's
+    ``torch.distributions.Normal.icdf`` dispatches to) when either is
+    installed, and otherwise evaluates Phi^-1 by Newton iteration on
+    ``math.erf`` (f64) — which converges to f64 ulp, i.e. the same values
+    (oracle-pinned vs scipy.stats.norm.ppf in tests/test_tof_sim.py). The
+    grid is tiny (== zone_sample_num) and computed once per process."""
     delta = 1e-3
     q = np.arange(delta, 1, (1 - 2 * delta) / (zone_sample_num - 1))[
         :zone_sample_num
     ]
-    return torch.special.ndtri(torch.from_numpy(q)).numpy()
+    try:
+        from scipy.special import ndtri
+
+        return np.asarray(ndtri(q), np.float64)
+    except ImportError:
+        pass
+    try:
+        import torch
+
+        return torch.special.ndtri(torch.from_numpy(q)).numpy()
+    except ImportError:
+        pass
+    return _ndtri_newton(q)
+
+
+def _ndtri_newton(q: np.ndarray) -> np.ndarray:
+    """Phi^-1(q) by Newton iteration on the f64 ``math.erf`` CDF.
+
+    Phi is smooth and strictly increasing, so Newton from 0 converges
+    quadratically for the quantile range used here (|z| <= ~3.1 at
+    delta=1e-3); 60 iterations is far past f64 fixed-point."""
+    import math
+
+    inv_sqrt2 = 1.0 / math.sqrt(2.0)
+    inv_sqrt2pi = 1.0 / math.sqrt(2.0 * math.pi)
+
+    def one(p: float) -> float:
+        x = 0.0
+        for _ in range(60):
+            cdf = 0.5 * (1.0 + math.erf(x * inv_sqrt2))
+            pdf = math.exp(-0.5 * x * x) * inv_sqrt2pi
+            step = (cdf - p) / pdf
+            x -= step
+            if abs(step) < 1e-15:
+                break
+        return x
+
+    return np.array([one(float(p)) for p in q], np.float64)
 
 
 def augment_hist(

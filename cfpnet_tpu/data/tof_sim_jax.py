@@ -26,6 +26,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .geometry import ZoneGeometry
 from .tof_sim import BIN_WIDTH, NOISE_FLOOR
@@ -141,8 +142,17 @@ def augment_hist_jax(fh, mask, rng, drop_hist: float, noise_prob: float,
     other."""
     k1, k2, k3 = jax.random.split(rng, 3)
     if drop_hist > 1e-3:
-        n = mask.sum(axis=-1, keepdims=True).astype(jnp.float32)
-        m = jnp.floor(n * drop_hist)
+        n_int = mask.sum(axis=-1, keepdims=True)
+        # the reference computes the draw count int(n * drop_hist) in f64; a
+        # f32 product can round ACROSS the integer boundary (e.g. p=0.58,
+        # n=50: f64 floor = 28, f32 floor = 29). n is bounded by the static
+        # zone count, so bake the exact-f64 table in and index it.
+        m_table = jnp.asarray(
+            np.floor(np.arange(mask.shape[-1] + 1) * np.float64(drop_hist)),
+            jnp.float32,
+        )
+        m = m_table[n_int]
+        n = n_int.astype(jnp.float32)
         p_eff = jnp.where(
             n > 0, 1.0 - (1.0 - 1.0 / jnp.maximum(n, 1.0)) ** m, 0.0
         )

@@ -106,15 +106,23 @@ def evaluate(
         m, n = metric_step(batch["depth"], pred)
         # ONE device->host sync per batch: each float()/np.asarray is a
         # full round trip over the (high-latency) device link, and ~10 of
-        # them per image made the eval loop RTT-bound (~0.8 s/frame here)
-        m, n, hvd = jax.device_get((m, n, hvd))
+        # them per image made the eval loop RTT-bound (~0.8 s/frame here).
+        # The save hook's payload (pred + the batch fields it reads) rides
+        # the SAME fetch — per-image transfers would re-add ~2+ RTTs/frame.
+        if per_image_hook is None:
+            m, n, hvd = jax.device_get((m, n, hvd))
+        else:
+            hook_fields = {k: batch[k] for k in ("image_u8", "image", "depth")
+                           if k in batch}
+            m, n, hvd, pred_host, host_batch = jax.device_get(
+                (m, n, hvd, pred, hook_fields))
         m = {k: np.asarray(v).reshape(-1) for k, v in m.items()}
         n = np.asarray(n).reshape(-1)
         hvd = None if hvd is None else np.asarray(hvd).reshape(-1)
         if per_image_hook is not None:
-            pred_host = np.asarray(jax.device_get(pred))
+            pred_host = np.asarray(pred_host)
             for j in range(n_real):
-                per_image_hook(seen + j, pred_host[j, ..., 0], batch, j)
+                per_image_hook(seen + j, pred_host[j, ..., 0], host_batch, j)
         for j in range(n_real):
             # skip samples without ground truth (reference train.py:179-181)
             if hvd is not None and not bool(hvd[j]):
@@ -187,6 +195,16 @@ def evaluate_sharded(
     batch_stats = None if batch_stats is None else _localize(batch_stats)
     sub = _Subset(dataset, range(pid, len(dataset), nproc))
     loader = make_loader(config, "online_eval", dataset=sub)
+    if per_image_hook is not None:
+        # evaluate() numbers samples subset-locally; the caller's hook (e.g.
+        # evaluate_all's save hook) was built over the FULL dataset, so
+        # translate to global indices — otherwise every dump is labeled with
+        # the wrong scene/frame and processes overwrite each other's files.
+        _caller_hook = per_image_hook
+
+        def per_image_hook(i, pred_hw, batch, j):  # noqa: F811
+            _caller_hook(sub.indices[i], pred_hw, batch, j)
+
     if steps is None:
         steps = make_eval_steps(model, config, loader, protocol)
     acc = RunningAverageDict()
@@ -307,7 +325,12 @@ def run_training(config, tiny: bool = False, max_steps_per_epoch: Optional[int] 
         # Production configs use --validate_every 1 (every epoch) either way.
         stride = max(int(config.validate_every), 1)
         if (epoch + 1) % stride == 0 or epoch + 1 == config.epochs:
-            if config.shard_eval and jax.process_count() > 1:
+            # Under multihost the sharded path is NOT optional: post-step
+            # params live replicated on the GLOBAL mesh while eval batches
+            # are process-local single-device arrays — plain evaluate()'s
+            # jit would reject the device mix. evaluate_sharded localizes
+            # the replica and strides the images (identical metrics).
+            if jax.process_count() > 1:
                 metrics = evaluate_sharded(
                     model, config, state.params, state.batch_stats,
                     eval_loader.dataset, protocol="validate", steps=eval_steps,

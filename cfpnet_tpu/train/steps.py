@@ -47,6 +47,50 @@ def eval_batch_image(batch: Dict) -> jnp.ndarray:
     return batch["image"]
 
 
+def make_loss_fn(model, config, geoms):
+    """The train-step loss body, exposed so the chained latency profiler
+    (scripts/profile_chained.py) times the EXACT production graph rather
+    than a hand-copied one. Returns ``loss_fn(params, batch_stats, batch,
+    rng) -> (loss, updates)``; differentiate w.r.t. the first argument."""
+    cdt = jnp.dtype(getattr(config, "compute_dtype", "float32"))
+
+    def cast_tree(tree):
+        if cdt == jnp.float32:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(cdt)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            tree,
+        )
+
+    def loss_fn(params, batch_stats, batch, rng):
+        # batch_stats stay f32 UNCAST: flax computes batch statistics in
+        # f32 regardless of input dtype (normalization._compute_stats),
+        # and the running-average update `m*ra + (1-m)*mean` then runs
+        # entirely in f32 — so sub-bf16-ulp momentum increments survive.
+        # (Casting them to bf16 here would quantize the accumulator each
+        # step; output dtype is unaffected — flax's _normalize derives it
+        # from (x, scale, bias) only.) Test: tests/test_bf16.py::
+        # test_bn_running_stats_accumulate_f32.
+        (bin_edges, pred), updates = model.apply(
+            {"params": cast_tree(params), "batch_stats": batch_stats},
+            batch["image"].astype(cdt),
+            batch["hist_data"].astype(cdt),
+            batch["mask"],
+            geoms,
+            train=True,
+            rngs={"fusion": rng},
+            mutable=["batch_stats"],
+        )
+        # reference train.py:121-123: clip pred at min_depth, mask gt
+        pred = jnp.clip(pred, config.min_depth, None)
+        dmask = batch["depth"] > config.min_depth
+        loss = silog_loss(pred, batch["depth"], dmask, interpolate=True)
+        return loss, updates
+
+    return loss_fn
+
+
 def make_train_step(model, config, geoms, jit: bool = True):
     """Returns jitted ``(state, batch, rng) -> (state, loss)``.
     ``jit=False`` returns the raw traceable step (used by the chained
@@ -59,45 +103,11 @@ def make_train_step(model, config, geoms, jit: bool = True):
     the loss stay f32 (grads arrive f32 through the cast, and the model's
     depth-reconstruction tail is pinned to f32 internally).
     """
-    cdt = jnp.dtype(getattr(config, "compute_dtype", "float32"))
-
-    def cast_tree(tree):
-        if cdt == jnp.float32:
-            return tree
-        return jax.tree_util.tree_map(
-            lambda x: x.astype(cdt)
-            if jnp.issubdtype(x.dtype, jnp.floating) else x,
-            tree,
-        )
+    loss_fn = make_loss_fn(model, config, geoms)
 
     def train_step(state: TrainState, batch: Dict, rng):
-        def loss_fn(params):
-            # batch_stats stay f32 UNCAST: flax computes batch statistics in
-            # f32 regardless of input dtype (normalization._compute_stats),
-            # and the running-average update `m*ra + (1-m)*mean` then runs
-            # entirely in f32 — so sub-bf16-ulp momentum increments survive.
-            # (Casting them to bf16 here would quantize the accumulator each
-            # step; output dtype is unaffected — flax's _normalize derives it
-            # from (x, scale, bias) only.) Test: tests/test_bf16.py::
-            # test_bn_running_stats_accumulate_f32.
-            (bin_edges, pred), updates = model.apply(
-                {"params": cast_tree(params),
-                 "batch_stats": state.batch_stats},
-                batch["image"].astype(cdt),
-                batch["hist_data"].astype(cdt),
-                batch["mask"],
-                geoms,
-                train=True,
-                rngs={"fusion": rng},
-                mutable=["batch_stats"],
-            )
-            # reference train.py:121-123: clip pred at min_depth, mask gt
-            pred = jnp.clip(pred, config.min_depth, None)
-            dmask = batch["depth"] > config.min_depth
-            loss = silog_loss(pred, batch["depth"], dmask, interpolate=True)
-            return loss, updates
-
-        (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, rng)
         state = state.apply_gradients(
             grads=grads, batch_stats=updates["batch_stats"]
         )

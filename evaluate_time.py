@@ -276,6 +276,8 @@ if __name__ == "__main__":
     print(f"{1000.0 / ms:.2f} frames/sec/chip")
 
     if profile_flops:
+        # params counted from shapes only; FLOPs via the shared cost-analysis
+        # helper (bench.py uses the same one — single source of truth)
         model = make_model(config)
         geoms = model_geometries(config, "online_eval")
         h, w = config.native_height, config.native_width
@@ -290,9 +292,5 @@ if __name__ == "__main__":
         n_params = sum(
             int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(variables["params"])
         )
-        lowered = jax.jit(
-            lambda v, i, hh, m: model.apply(v, i, hh, m, geoms, train=False)[1]
-        ).lower(variables, img, hist, mask)
-        cost = lowered.compile().cost_analysis()
-        flops = cost.get("flops", float("nan")) if cost else float("nan")
+        flops = graph_flops_eval(config, batch_size=1)
         print(f"params: {n_params/1e6:.3f} M, flops/forward: {flops/1e9:.2f} G")

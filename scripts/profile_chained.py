@@ -66,9 +66,9 @@ def profile_train():
 
     from cfpnet_tpu.data.datasets import SyntheticDataset
     from cfpnet_tpu.data.pipeline import collate
-    from cfpnet_tpu.train.losses import silog_loss
     from cfpnet_tpu.train.optim import make_optimizer
-    from cfpnet_tpu.train.steps import create_train_state, make_train_step
+    from cfpnet_tpu.train.steps import (create_train_state, make_loss_fn,
+                                        make_train_step)
 
     dtype = "bfloat16" if any("bf" in a for a in sys.argv[1:]) else "float32"
     bs = next((int(a) for a in sys.argv[1:] if a.isdigit()), 16)
@@ -90,7 +90,9 @@ def profile_train():
     rng = jax.random.key(0)
     state = create_train_state(model, cfg, rng, batch, geoms, tx)
     raw_step = make_train_step(model, cfg, geoms, jit=False)
-    cdt = jnp.dtype(dtype)
+    # the EXACT production loss body (shared with make_train_step) — a
+    # hand-copied loss here would silently drift from the real train graph
+    prod_loss = make_loss_fn(model, cfg, geoms)
 
     def time_scan(fn, label):
         """Chain K calls of fn(carry)->carry inside one jit."""
@@ -115,24 +117,10 @@ def profile_train():
         st2, _ = raw_step(st, batch, jax.random.fold_in(rng, i))
         return st2.params
 
-    def cast_tree(t):
-        if cdt == jnp.float32:
-            return t
-        return jax.tree_util.tree_map(
-            lambda x: x.astype(cdt)
-            if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
-
     def loss_of(p, i):
-        (bin_edges, pred), _ = model.apply(
-            {"params": cast_tree(p), "batch_stats": state.batch_stats},
-            batch["image"].astype(cdt), batch["hist_data"].astype(cdt),
-            batch["mask"], geoms, train=True,
-            rngs={"fusion": jax.random.fold_in(rng, i)},
-            mutable=["batch_stats"],
-        )
-        pred = jnp.clip(pred, cfg.min_depth, None)
-        return silog_loss(pred, batch["depth"],
-                          batch["depth"] > cfg.min_depth, interpolate=True)
+        loss, _updates = prod_loss(p, state.batch_stats, batch,
+                                   jax.random.fold_in(rng, i))
+        return loss
 
     def fwd_only(p, i):
         l = loss_of(p, i)

@@ -116,8 +116,15 @@ def main(pid, nproc, coord):
     ecfg = cfg.replace(mode="online_eval")
     eds = SyntheticDataset(ecfg, "online_eval", length=6)
     kv_barrier("eval_start")
+    # per_image_hook must receive GLOBAL dataset indices (the hook is built
+    # over the full dataset by evaluate_all's make_save_hook) — a process
+    # seeing subset-local indices would mislabel/overwrite dump files
+    hook_indices = []
     em = evaluate_sharded(model, ecfg, state.params, state.batch_stats, eds,
-                          protocol="validate", barrier_fn=kv_barrier)
+                          protocol="validate", barrier_fn=kv_barrier,
+                          per_image_hook=lambda i, p, b, j:
+                          hook_indices.append(int(i)))
+    assert hook_indices == list(range(pid, 6, nproc)), hook_indices
     print(f"MULTIHOST_EVAL {pid} {em['rmse']:.10f} {em['a1']:.10f}",
           flush=True)
     kv_barrier("done")
