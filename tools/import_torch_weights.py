@@ -30,10 +30,15 @@ CLI:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from typing import Dict, Tuple
 
 import numpy as np
+
+# make `python tools/import_torch_weights.py` work from anywhere: as a
+# script, sys.path gets tools/, not the repo root that holds cfpnet_tpu
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # ---------------------------------------------------------------- transforms
 
