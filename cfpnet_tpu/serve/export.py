@@ -189,6 +189,7 @@ class ServingModel:
                 f"not a {FORMAT} artifact: {self.manifest.get('format')!r}")
         self.batch_sizes = sorted(int(b) for b in self.manifest["files"])
         self._fns: Dict[int, object] = {}
+        self._sharded: Dict[tuple, object] = {}
 
     def _fn(self, bs: int):
         if bs not in self._fns:
@@ -199,12 +200,23 @@ class ServingModel:
                 self._fns[bs] = jexport.deserialize(bytearray(f.read()))
         return self._fns[bs]
 
+    def exported(self, batch_size: int):
+        """The deserialized ``jax.export.Exported`` for one exported batch
+        size — its ``.call`` is traceable inside another jit (used by
+        evaluate_time's ``--serving_artifact`` chained latency mode)."""
+        if batch_size not in self.batch_sizes:
+            raise KeyError(
+                f"batch size {batch_size} not exported; have {self.batch_sizes}")
+        return self._fn(batch_size)
+
     def _predict_exact(self, image_u8, hist, mask) -> np.ndarray:
         bs = image_u8.shape[0]
         out = self._fn(bs).call(image_u8, hist, mask)
         return np.asarray(out)
 
-    def predict(self, image_u8, hist, mask) -> np.ndarray:
+    def _chunked(self, image_u8, hist, mask, sizes, run) -> np.ndarray:
+        """Pad/chunk ``n`` samples through the exported sizes ``sizes``,
+        calling ``run(img, hist, mask)`` per exact-size chunk."""
         image_u8 = np.ascontiguousarray(image_u8, np.uint8)
         hist = np.ascontiguousarray(hist, np.float32)
         mask = np.ascontiguousarray(mask, bool)
@@ -212,8 +224,8 @@ class ServingModel:
         outs = []
         i = 0
         while i < n:
-            take = min(n - i, self.batch_sizes[-1])
-            bs = next(b for b in self.batch_sizes if b >= take)
+            take = min(n - i, sizes[-1])
+            bs = next(b for b in sizes if b >= take)
             take = min(take, bs)
             pad = bs - take
 
@@ -224,7 +236,55 @@ class ServingModel:
                     chunk = np.concatenate([chunk, z], axis=0)
                 return chunk
 
-            pred = self._predict_exact(pick(image_u8), pick(hist), pick(mask))
+            pred = np.asarray(run(pick(image_u8), pick(hist), pick(mask)))
             outs.append(pred[:take])
             i += take
         return np.concatenate(outs, axis=0)
+
+    def predict(self, image_u8, hist, mask) -> np.ndarray:
+        return self._chunked(image_u8, hist, mask, self.batch_sizes,
+                             self._predict_exact)
+
+    def _sharded_fn(self, bs: int, mesh):
+        """jit of the deserialized module with batch-axis shardings — XLA's
+        SPMD partitioner splits the inlined StableHLO computation across the
+        mesh (pure DP: no collectives in the eval forward)."""
+        key = (bs, mesh)
+        if key not in self._sharded:
+            import jax
+
+            from ..parallel.mesh import batch_sharding
+
+            sh = batch_sharding(mesh)
+            self._sharded[key] = jax.jit(
+                self._fn(bs).call, in_shardings=(sh, sh, sh),
+                out_shardings=sh)
+        return self._sharded[key]
+
+    def predict_sharded(self, image_u8, hist, mask, mesh=None) -> np.ndarray:
+        """Data-parallel predict over a device mesh (beyond-parity: the
+        reference serves strictly single-device bs=1 —
+        /root/reference/evaluate_all.py:95).
+
+        Shards the batch axis of an exported module across a 1-D ``'data'``
+        mesh (default: all local devices, clamped to a divisor of the
+        largest exported batch size). Only exported sizes divisible by the
+        mesh size are used; partial batches pad/chunk exactly like
+        ``predict``. The partitioned program is a separate XLA compilation,
+        so results match ``predict`` to f32-reassociation tolerance (same
+        ~1e-3 bound as the artifact's other cross-compilation equalities),
+        not bitwise."""
+        from ..parallel.mesh import make_mesh
+
+        if mesh is None:
+            mesh = make_mesh(batch_size=self.batch_sizes[-1])
+        ndev = int(mesh.devices.size)
+        sizes = [b for b in self.batch_sizes if b % ndev == 0]
+        if not sizes:
+            raise ValueError(
+                f"no exported batch size in {self.batch_sizes} is divisible "
+                f"by the {ndev}-device mesh; re-export with a divisible "
+                f"--serve_batch_sizes or pass a smaller mesh")
+        return self._chunked(
+            image_u8, hist, mask, sizes,
+            lambda im, hh, mm: self._sharded_fn(im.shape[0], mesh)(im, hh, mm))

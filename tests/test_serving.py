@@ -151,6 +151,46 @@ def test_export_rejects_pallas(served):
                                 batch_stats, "/tmp/nope", tiny=True)
 
 
+def test_predict_sharded_matches_predict(served):
+    """DP serving: the deserialized module jitted with batch-axis shardings
+    over the virtual device mesh — XLA SPMD-partitions the exported
+    StableHLO. The partitioned program is a separate compilation, so the
+    match is f32-reassociation-tight (same bound as the artifact's other
+    cross-compilation equalities; observed max ~7e-4), incl. the pad/chunk
+    tail."""
+    from cfpnet_tpu.parallel.mesh import make_mesh
+
+    _, _, _, _, _, (img, hist, mask), dst = served
+    m = ServingModel(dst)
+    mesh = make_mesh(batch_size=m.batch_sizes[-1])  # 2 devices for bs=2
+    assert mesh.devices.size > 1, "conftest provides 8 virtual devices"
+    got = m.predict_sharded(img, hist, mask, mesh=mesh)
+    ref = m.predict(img, hist, mask)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=2e-3)
+
+
+def test_predict_sharded_rejects_indivisible_mesh(served):
+    """A mesh no exported size divides fails fast with a clear error."""
+    from jax.sharding import Mesh
+
+    _, _, _, _, _, (img, hist, mask), dst = served
+    m = ServingModel(dst)
+    mesh = Mesh(np.array(jax.devices()[:3]), ("data",))  # sizes are {1,2}
+    with pytest.raises(ValueError, match="divisible"):
+        m.predict_sharded(img, hist, mask, mesh=mesh)
+
+
+def test_timed_serving_harness(served):
+    """The --serving_artifact latency mode: Exported.call traces inside the
+    chained-jit protocol and returns a sane positive ms figure."""
+    from evaluate_time import timed_serving
+
+    _, _, _, _, _, _, dst = served
+    ms = timed_serving(dst, niters=8, batch_size=1, K=4)
+    assert 0 < ms < 60_000
+
+
 def test_cli_end_to_end(tmp_path):
     """tools/export_serving.py --random_init --tiny -> loadable artifact."""
     dst = str(tmp_path / "cli_artifact")
