@@ -123,6 +123,10 @@ class Config:
     # is single-device bs=1): images strided per process, image-weighted
     # metric merge via one process_allgather (train/loop.evaluate_sharded).
     shard_eval: bool = False
+    # evaluate_all: run the metric sweep THROUGH an exported serving
+    # artifact (cfpnet_tpu/serve) instead of live weights — pre-deployment
+    # numeric validation of the exact StableHLO module that will serve.
+    serving_artifact: str = ""
     # seed (reference train.py:218 uses 117010053).
     seed: int = 117010053
     # use Pallas kernels for the hot ops (fused linear attention, large-

@@ -84,6 +84,46 @@ def make_save_hook(config, dataset):
     return hook
 
 
+def artifact_eval_steps(config, loader, artifact_path):
+    """(eval_step, metric_step) backed by an exported serving artifact —
+    pre-deployment validation: the metric sweep runs through the EXACT
+    StableHLO module that will serve (weights baked in), not live weights.
+
+    The artifact's input contract is raw uint8 RGB (what a deployed client
+    sends); float-sourced eval images (synthetic) cross the boundary
+    quantized to uint8, exactly as a client would send them. The metric
+    valid-mask protocol follows the artifact's baked post-processing
+    protocol (manifest['protocol']) so pred handling and masking stay the
+    matched reference pair (steps.make_eval_step/make_metric_step)."""
+    import jax.numpy as jnp
+
+    from cfpnet_tpu.data.datasets import IMAGENET_MEAN, IMAGENET_STD
+    from cfpnet_tpu.serve import ServingModel
+    from cfpnet_tpu.train.steps import make_metric_step
+
+    m = ServingModel(artifact_path)
+    bs = getattr(loader, "batch_size", 1)
+    if bs not in m.batch_sizes:
+        raise ValueError(
+            f"artifact exports batch sizes {m.batch_sizes}; evaluation uses "
+            f"--eval_bs {bs} — re-export with it or change --eval_bs")
+    exported = m.exported(bs)
+    protocol = m.manifest.get("protocol", "validate")
+
+    def eval_step(params, batch_stats, batch):
+        if "image_u8" in batch:
+            img = batch["image_u8"]
+        else:
+            raw = batch["image"] * jnp.asarray(IMAGENET_STD) + jnp.asarray(
+                IMAGENET_MEAN)
+            img = jnp.clip(jnp.round(raw * 255.0), 0, 255).astype(jnp.uint8)
+        pred = exported.call(img, batch["hist_data"].astype(jnp.float32),
+                             batch["mask"])
+        return pred[..., None], None
+
+    return jax.jit(eval_step), make_metric_step(config, protocol=protocol)
+
+
 def zju_overrides(config):
     """Dataset-specific overrides (reference evaluate_all.py:99-109)."""
     return config.replace(
@@ -116,6 +156,21 @@ def main():
 
     model = make_model(config)
     loader = make_loader(config, "online_eval")
+
+    if config.serving_artifact:
+        # metric sweep through the exported StableHLO module (weights baked
+        # in — no checkpoint involved); one row, epoch column = 'artifact'
+        steps = artifact_eval_steps(config, loader, config.serving_artifact)
+        results = evaluate(
+            model, config, None, None, loader, steps=steps,
+            per_image_hook=make_save_hook(config, loader.dataset),
+        )
+        results = {k: round(v, 3) for k, v in results.items()}
+        print(f"Metrics (serving artifact): {results}")
+        print(",".join(str(results[m]) for m in METRICS))
+        write_reports(config, [["artifact"] + [results[m] for m in METRICS]])
+        return
+
     # one traced/jitted step pair for the whole epoch sweep
     steps = make_eval_steps(model, config, loader, protocol="evaluate_all")
 
@@ -154,6 +209,12 @@ def main():
         if config.selected_epoch != "-1":
             break
 
+    write_reports(config, rows)
+
+
+def write_reports(config, rows):
+    """results[_nyu].csv + .xlsx under save_dir (reference writes only xlsx,
+    evaluate_all.py:113-167; CSV is the dependency-free always-on artifact)."""
     if jax.process_count() > 1 and jax.process_index() != 0:
         return  # one CSV/xlsx writer per job
     os.makedirs(config.save_dir, exist_ok=True)

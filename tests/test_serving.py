@@ -191,6 +191,76 @@ def test_timed_serving_harness(served):
     assert 0 < ms < 60_000
 
 
+def test_artifact_backed_evaluation(served):
+    """evaluate_all's --serving_artifact path: the metric sweep through the
+    exported module equals live evaluation fed the SAME uint8 inputs
+    (quantizing float-sourced images at the serving boundary is part of the
+    deployed contract — a client sends raw uint8). Exercises the ragged-tail
+    padding (5 samples through bs=2) and the protocol-matched metric step."""
+    from evaluate_all import artifact_eval_steps
+    from cfpnet_tpu.data.datasets import (IMAGENET_MEAN, IMAGENET_STD,
+                                          SyntheticDataset)
+    from cfpnet_tpu.data.pipeline import DataLoader
+    from cfpnet_tpu.train.loop import evaluate, make_eval_steps
+
+    cfg, model, geoms, params, batch_stats, _, dst = served
+    cfg2 = cfg.replace(dataset_eval="synthetic", eval_bs=2)
+    base = SyntheticDataset(cfg2, "online_eval", length=5)
+
+    class U8Dataset:
+        """Synthetic eval samples shipped as raw uint8 (the serving input)."""
+
+        def __len__(self):
+            return len(base)
+
+        def __getitem__(self, i):
+            s = dict(base[i])
+            raw = s.pop("image") * IMAGENET_STD + IMAGENET_MEAN
+            s["image_u8"] = np.clip(
+                np.round(raw * 255.0), 0, 255).astype(np.uint8)
+            return s
+
+    loader = DataLoader(U8Dataset(), 2)
+    live = evaluate(model, cfg2, params, batch_stats, loader,
+                    steps=make_eval_steps(model, cfg2, loader,
+                                          protocol="validate"))
+    got = evaluate(model, cfg2, None, None, loader,
+                   steps=artifact_eval_steps(cfg2, loader, dst))
+    assert set(got) == set(live) and live
+    for k in live:
+        np.testing.assert_allclose(got[k], live[k], rtol=1e-2, atol=5e-3,
+                                   err_msg=k)
+
+
+def test_artifact_backed_evaluation_rejects_missing_bs(served):
+    from evaluate_all import artifact_eval_steps
+    from cfpnet_tpu.data.datasets import SyntheticDataset
+    from cfpnet_tpu.data.pipeline import DataLoader
+
+    cfg, _, _, _, _, _, dst = served
+    loader = DataLoader(SyntheticDataset(cfg, "online_eval", length=3), 3)
+    with pytest.raises(ValueError, match="eval_bs"):
+        artifact_eval_steps(cfg, loader, dst)
+
+
+def test_evaluate_all_serving_artifact_cli(served, tmp_path, monkeypatch):
+    """python evaluate_all.py ... --serving_artifact D on synthetic eval:
+    metrics + results.csv/xlsx written without touching any checkpoint."""
+    import evaluate_all as ea
+
+    _, _, _, _, _, _, dst = served
+    monkeypatch.setattr(sys, "argv", [
+        "evaluate_all.py", *TINY_ARGS, "--tiny_model",
+        "--test_dataset", "synthetic", "--synthetic_length", "3",
+        "--serving_artifact", dst, "--save_dir", str(tmp_path),
+    ])
+    ea.main()
+    csv_path = tmp_path / "results.csv"
+    assert csv_path.exists()
+    rows = csv_path.read_text().strip().splitlines()
+    assert rows[1].startswith("artifact,")
+
+
 def test_cli_end_to_end(tmp_path):
     """tools/export_serving.py --random_init --tiny -> loadable artifact."""
     dst = str(tmp_path / "cli_artifact")
