@@ -261,6 +261,50 @@ def test_evaluate_all_serving_artifact_cli(served, tmp_path, monkeypatch):
     assert rows[1].startswith("artifact,")
 
 
+def test_http_endpoint(served):
+    """tools/serve_http.py: warmup, /healthz, /manifest, binary .npz
+    /predict (response == ServingModel.predict), and 400 on malformed
+    payloads — the stdlib deployment endpoint over an artifact."""
+    import io
+    import json as jsonlib
+    import threading
+    import urllib.request
+    from urllib.error import HTTPError
+
+    from tools.serve_http import make_server
+
+    _, _, _, _, _, (img, hist, mask), dst = served
+    server = make_server(dst, port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        assert urllib.request.urlopen(f"{base}/healthz").read() == b"ok"
+        manifest = jsonlib.loads(
+            urllib.request.urlopen(f"{base}/manifest").read())
+        assert manifest["format"] == "cfpnet-serving-v1"
+
+        buf = io.BytesIO()
+        np.savez(buf, image_u8=img[:3], hist=hist[:3], mask=mask[:3])
+        req = urllib.request.Request(
+            f"{base}/predict", data=buf.getvalue(), method="POST",
+            headers={"Content-Type": "application/octet-stream"})
+        with np.load(io.BytesIO(urllib.request.urlopen(req).read())) as z:
+            depth = z["depth"]
+        ref = ServingModel(dst).predict(img[:3], hist[:3], mask[:3])
+        np.testing.assert_array_equal(depth, ref)
+
+        bad = urllib.request.Request(
+            f"{base}/predict", data=b"not an npz", method="POST")
+        with pytest.raises(HTTPError) as ei:
+            urllib.request.urlopen(bad)
+        assert ei.value.code == 400
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
 def test_cli_end_to_end(tmp_path):
     """tools/export_serving.py --random_init --tiny -> loadable artifact."""
     dst = str(tmp_path / "cli_artifact")
