@@ -31,6 +31,7 @@ TPU-first notes:
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 from typing import Dict, Optional, Sequence
@@ -39,6 +40,14 @@ import numpy as np
 
 MANIFEST_NAME = "manifest.json"
 FORMAT = "cfpnet-serving-v1"
+
+
+def geometry_dict(geoms) -> Dict[str, dict]:
+    """JSON form of a per-scale geometry map ({conv_patch_size:
+    ScaleGeometry}) — recorded in the manifest so artifact-backed evaluation
+    can verify the exported zone geometry matches the eval dataset's
+    (measured ZJUL5 rigs vs the config-derived NYU grid)."""
+    return {str(cps): dataclasses.asdict(g) for cps, g in sorted(geoms.items())}
 
 
 def make_serving_forward(model, config, geoms, params, batch_stats,
@@ -105,11 +114,21 @@ def export_serving_artifact(
     protocol: str = "validate",
     platforms: Sequence[str] = ("cpu", "tpu"),
     tiny: bool = False,
+    geoms=None,
+    geometry_source: str = "config",
 ) -> str:
     """Export the eval forward for each batch size; write ``dst/``.
 
     Returns the manifest path. Weights are baked into the modules as
     constants, so ``dst`` is the complete deployable unit.
+
+    ``geoms`` overrides the config-derived zone geometry — pass a dataset's
+    measured ``scale_geoms`` (ZJUL5 ``fr`` rects) to bake the real rig's
+    zone-to-pixel mapping into the artifact, exactly like the live eval
+    driver uses it (train/loop.py:52-54). The zone count for the hist input
+    follows the geometry (so ``zone_type`` sub-grid ablations export with
+    the right shapes), and the geometry is recorded in the manifest for
+    pre-deployment validation (evaluate_all.artifact_eval_steps).
     """
     import jax
     from jax import export as jexport
@@ -123,9 +142,10 @@ def export_serving_artifact(
 
     config = config.replace(mode="online_eval")
     model = make_model(config, tiny=tiny)
-    geoms = model_geometries(config, "online_eval")
+    if geoms is None:
+        geoms = model_geometries(config, "online_eval")
     h, w = config.native_height, config.native_width
-    zn = config.eval_zone_num
+    zn = next(iter(geoms.values())).zone_num
     zones, s = zn * zn, config.zone_sample_num
 
     fwd = make_serving_forward(model, config, geoms, params, batch_stats,
@@ -159,6 +179,11 @@ def export_serving_artifact(
             "mask": [None, zones],
         },
         "output": "depth_m [B, H, W] float32",
+        "geometry": {
+            "source": geometry_source,
+            "zone_num": zn,
+            "scales": geometry_dict(geoms),
+        },
         "n_bins": int(config.n_bins),
         "jax_version": jax.__version__,
         "files": files,

@@ -102,6 +102,25 @@ def artifact_eval_steps(config, loader, artifact_path):
     from cfpnet_tpu.train.steps import make_metric_step
 
     m = ServingModel(artifact_path)
+    man_geo = m.manifest.get("geometry")
+    if man_geo is not None:
+        # the artifact bakes its zone geometry in as compile-time constants;
+        # evaluating a dataset whose geometry differs (measured ZJUL5 rig vs
+        # the config grid, or a zone_type ablation) would silently mis-place
+        # every zone — fail loudly instead
+        from cfpnet_tpu.models.deltar import model_geometries
+        from cfpnet_tpu.serve.export import geometry_dict
+
+        live = getattr(getattr(loader, "dataset", None), "scale_geoms", None)
+        if live is None:
+            live = model_geometries(config, "online_eval")
+        if geometry_dict(live) != man_geo["scales"]:
+            raise ValueError(
+                f"artifact zone geometry ({man_geo['source']}, "
+                f"{man_geo['zone_num']}x{man_geo['zone_num']}) does not match "
+                "the eval dataset's geometry — re-export with the matching "
+                "--test_dataset/zone flags (tools/export_serving.py reads "
+                "measured ZJUL5 rects when --test_dataset zjuL5)")
     bs = getattr(loader, "batch_size", 1)
     if bs not in m.batch_sizes:
         raise ValueError(

@@ -325,3 +325,242 @@ def test_cli_end_to_end(tmp_path):
                     np.full((1, zones, s), 2.0, np.float32),
                     np.ones((1, zones), bool))
     assert out.shape == (1, h, w) and np.isfinite(out).all()
+
+
+# ---- measured-geometry artifacts (ZJUL5 rigs) -------------------------------
+
+def _fabricate_zju_tree(root, H=64, W=96, zn=2, px=16, off_y=6, off_x=-4,
+                        n_files=2, seed=11):
+    """Tiny ZJUL5-format capture tree with a deliberately OFF-CENTER rig:
+    the measured ``fr`` rects differ from the config-derived centered grid,
+    so geometry provenance is observable."""
+    import json
+
+    import h5py
+
+    rng = np.random.default_rng(seed)
+    root.mkdir(parents=True, exist_ok=True)
+    sy = int((H - px * zn) / 2) + off_y
+    sx = int((W - px * zn) / 2) + off_x
+    fr = np.asarray(
+        [[sy + i * px, sx + j * px, sy + (i + 1) * px, sx + (j + 1) * px]
+         for i in range(zn) for j in range(zn)], np.float32)
+    names = []
+    for i in range(n_files):
+        with h5py.File(root / f"cap{i}.h5", "w") as f:
+            f["rgb"] = (rng.random((H, W, 3)) * 255).astype(np.uint8)
+            f["depth"] = rng.uniform(0.3, 8.0, (H, W)).astype(np.float32)
+            f["hist_data"] = np.stack(
+                [rng.uniform(0.5, 3.5, zn * zn),
+                 rng.uniform(0.05, 0.3, zn * zn)], axis=1).astype(np.float32)
+            f["fr"] = fr
+            f["mask"] = np.ones(zn * zn, bool)
+        names.append({"filename": f"cap{i}.h5"})
+    (root / "data.json").write_text(json.dumps({"test": names}))
+
+
+def test_manifest_records_geometry(served):
+    """Every artifact records its baked zone geometry (source + per-scale
+    ScaleGeometry fields) for pre-deployment validation."""
+    from cfpnet_tpu.serve.export import geometry_dict
+
+    cfg, _, geoms, _, _, _, dst = served
+    man = ServingModel(dst).manifest
+    assert man["geometry"]["source"] == "config"
+    assert man["geometry"]["zone_num"] == cfg.eval_zone_num
+    assert man["geometry"]["scales"] == geometry_dict(geoms)
+
+
+def test_measured_geometry_export(tmp_path):
+    """The export CLI reads a ZJUL5 dataset's measured ``fr`` rects and bakes
+    THAT geometry into the artifact (like the live eval driver,
+    train/loop.py:52-54); the artifact matches the live eval step running on
+    the measured geometry."""
+    import tools.export_serving as tex
+    from cfpnet_tpu.config import parse_config
+    from cfpnet_tpu.data.datasets import ZJUL5Dataset
+    from cfpnet_tpu.data.pipeline import collate
+    from cfpnet_tpu.serve.export import geometry_dict
+    from cfpnet_tpu.train.steps import make_eval_step
+
+    d = tmp_path / "zju"
+    _fabricate_zju_tree(d)
+    zflags = ["--dataset_eval", "zjuL5", "--data_path_eval", str(d),
+              "--filenames_file_eval", str(d / "data.json")]
+    dst = str(tmp_path / "artifact")
+    tex.main(["--random_init", "--tiny", "--dst", dst,
+              "--serve_platforms", "cpu"] + TINY_ARGS + zflags)
+
+    cfg = parse_config(TINY_ARGS + zflags).replace(mode="online_eval")
+    ds = ZJUL5Dataset(cfg)
+    man = ServingModel(dst).manifest
+    assert man["geometry"]["source"] == "measured:zjuL5"
+    assert man["geometry"]["scales"] == geometry_dict(ds.scale_geoms)
+    # the off-center rig genuinely differs from the config grid
+    assert man["geometry"]["scales"] != geometry_dict(
+        model_geometries(cfg, "online_eval"))
+
+    # artifact == live eval step on the measured geometry (same params: the
+    # CLI's --random_init derives them deterministically from config.seed)
+    model = make_model(cfg, tiny=True)
+    h, w = cfg.native_height, cfg.native_width
+    zn = next(iter(ds.scale_geoms.values())).zone_num
+    variables = jax.jit(lambda r: model.init(
+        {"params": r, "fusion": jax.random.fold_in(r, 1)},
+        jnp.zeros((1, h, w, 3), jnp.float32),
+        jnp.full((1, zn * zn, cfg.zone_sample_num), 2.0, jnp.float32),
+        jnp.ones((1, zn * zn), bool), ds.scale_geoms, train=False,
+    ))(jax.random.key(cfg.seed))
+    step = make_eval_step(model, cfg, ds.scale_geoms, protocol="validate")
+    batch = collate([ds[0]])
+    ref, _ = step(variables["params"], variables.get("batch_stats"), batch)
+    got = ServingModel(dst).predict(batch["image_u8"], batch["hist_data"],
+                                    batch["mask"])
+    # separately compiled graphs: f32 reassociation tolerance (as elsewhere)
+    np.testing.assert_allclose(got, np.asarray(ref)[..., 0],
+                               rtol=1e-3, atol=2e-3)
+
+
+def test_artifact_geometry_mismatch_rejected(served, tmp_path):
+    """Evaluating a measured-rig dataset through a config-geometry artifact
+    fails loudly (a silent run would mis-place every zone)."""
+    from evaluate_all import artifact_eval_steps
+    from cfpnet_tpu.data.pipeline import make_loader
+
+    cfg, *_, dst = served  # artifact exported with config geometry
+    d = tmp_path / "zju"
+    _fabricate_zju_tree(d)
+    zcfg = cfg.replace(dataset_eval="zjuL5", data_path_eval=str(d),
+                       filenames_file_eval=str(d / "data.json"))
+    loader = make_loader(zcfg, "online_eval")
+    with pytest.raises(ValueError, match="zone geometry"):
+        artifact_eval_steps(zcfg, loader, dst)
+
+
+def test_http_micro_batching(served):
+    """Concurrent /predict requests coalesce into batched device calls via
+    the MicroBatcher (one dispatcher thread owns the device); every client
+    still gets exactly its own rows back."""
+    import io
+    import threading
+    import urllib.request
+
+    from tools.serve_http import make_server
+
+    _, _, _, _, _, (img, hist, mask), dst = served
+    # generous window: all 5 requests (launched together) join batch #1
+    server = make_server(dst, port=0, batch_wait_ms=1000.0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+    n = 5
+    results = [None] * n
+
+    def one(i):
+        buf = io.BytesIO()
+        np.savez(buf, image_u8=img[i:i + 1], hist=hist[i:i + 1],
+                 mask=mask[i:i + 1])
+        req = urllib.request.Request(
+            f"{base}/predict", data=buf.getvalue(), method="POST")
+        with np.load(io.BytesIO(urllib.request.urlopen(req).read())) as z:
+            results[i] = z["depth"]
+
+    try:
+        threads = [threading.Thread(target=one, args=(i,)) for i in range(n)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        m = ServingModel(dst)
+        for i in range(n):
+            assert results[i] is not None, f"request {i} never answered"
+            ref = m.predict(img[i:i + 1], hist[i:i + 1], mask[i:i + 1])
+            # coalesced rows may run through a different exported batch size
+            # than a lone predict -> f32 reassociation tolerance (as in
+            # test_padding_and_chunking)
+            np.testing.assert_allclose(results[i], ref, rtol=1e-3, atol=2e-3)
+        assert server.batcher.rows_run >= n
+        assert server.batcher.batches_run < n, (
+            f"no coalescing: {server.batcher.batches_run} batches for {n} "
+            "concurrent single-row requests")
+    finally:
+        server.shutdown()
+        server.server_close()
+        server.batcher.close()
+
+
+# ---- MicroBatcher unit tests (no device, fake predict_fn) -------------------
+
+def _mb_inputs(n, v, zones=4, s=3, h=4, w=6):
+    img = np.full((n, h, w, 3), v, np.uint8)
+    hist = np.full((n, zones, s), float(v), np.float32)
+    mask = np.ones((n, zones), bool)
+    return img, hist, mask
+
+
+def test_microbatcher_slices_mixed_sizes():
+    """Concurrent submits of different batch sizes coalesce into one call and
+    each caller gets exactly its own rows back, in its own order."""
+    import threading
+
+    from tools.serve_http import MicroBatcher
+
+    calls = []
+
+    def fake_predict(img, hist, mask):
+        calls.append(int(img.shape[0]))
+        # depth row i = mean of image row i: identifies provenance exactly
+        return img.astype(np.float32).mean(axis=(1, 2, 3))
+
+    mb = MicroBatcher(fake_predict, max_rows=8, max_wait_s=0.25)
+    try:
+        sizes = {0: 1, 1: 3, 2: 2}
+        results = {}
+
+        def one(i):
+            results[i] = mb.submit(*_mb_inputs(sizes[i], v=10 * (i + 1)))
+
+        threads = [threading.Thread(target=one, args=(i,)) for i in sizes]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        for i, n in sizes.items():
+            np.testing.assert_array_equal(
+                results[i], np.full(n, 10.0 * (i + 1), np.float32))
+        assert mb.rows_run == 6
+        assert mb.batches_run < 3, f"no coalescing: {calls}"
+    finally:
+        mb.close()
+
+
+def test_microbatcher_error_isolated_to_batch():
+    """A predict failure poisons only the requests in that batch; the
+    dispatcher survives and later submits succeed."""
+    from tools.serve_http import MicroBatcher
+
+    def fake_predict(img, hist, mask):
+        if (img == 66).any():
+            raise RuntimeError("boom")
+        return np.zeros(img.shape[0], np.float32)
+
+    # max_wait 0: each submit runs as its own batch (strict serialization)
+    mb = MicroBatcher(fake_predict, max_rows=8, max_wait_s=0.0)
+    try:
+        with pytest.raises(RuntimeError, match="boom"):
+            mb.submit(*_mb_inputs(2, v=66))
+        out = mb.submit(*_mb_inputs(1, v=5))
+        np.testing.assert_array_equal(out, np.zeros(1, np.float32))
+        assert mb.batches_run == 1 and mb.rows_run == 1
+    finally:
+        mb.close()
+
+
+def test_microbatcher_close_joins_dispatcher():
+    from tools.serve_http import MicroBatcher
+
+    mb = MicroBatcher(lambda i, h, m: np.zeros(i.shape[0], np.float32),
+                      max_rows=4, max_wait_s=0.0)
+    mb.submit(*_mb_inputs(1, v=1))
+    mb.close()
+    assert not mb._thread.is_alive()

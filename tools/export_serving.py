@@ -8,6 +8,12 @@
 
 Everything not listed above (flags or @argfiles) is forwarded to the config
 parser, so the same argfile that trained the model describes the export.
+Passing ``--test_dataset zjuL5`` (plus the ZJU data paths, or relying on the
+eval driver's defaults) applies the same dataset overrides as evaluate_all
+AND bakes the rig's MEASURED zone geometry (the h5 ``fr`` rects) into the
+artifact instead of the config grid — the manifest records the geometry and
+``evaluate_all --serving_artifact`` refuses to run a dataset whose geometry
+does not match it.
 The artifact directory (StableHLO modules with the weights baked in +
 manifest.json) is the complete deployable unit — serving hosts need jax but
 not flax, not this repo's model code, and no checkpoint. See
@@ -43,6 +49,37 @@ def main(argv=None):
     from cfpnet_tpu.config import parse_config
 
     config = parse_config(config_args)
+    # same dataset-specific overrides as the eval driver (reference
+    # evaluate_all.py:99-109) — but only when --test_dataset is EXPLICIT:
+    # its default is 'zjuL5' (reference src/config.py:86) and a bare export
+    # must not silently acquire the ZJU data paths
+    if any(a.startswith(("--test_dataset", "--test-dataset"))
+           for a in config_args):
+        if "zjuL5" in config.test_dataset:
+            from evaluate_all import zju_overrides
+
+            config = zju_overrides(config)
+        elif "synthetic" in config.test_dataset:
+            config = config.replace(dataset_eval="synthetic")
+        elif "nyu" in config.test_dataset:
+            config = config.replace(dataset_eval="nyu")
+    config = config.replace(mode="online_eval")
+
+    # measured sensor geometry: a ZJUL5 deployment serves the real rig's
+    # zone-to-pixel rects (h5 ``fr``), not the config grid — read them from
+    # the eval dataset exactly like the live driver (train/loop.py:52-54)
+    # and bake them into the artifact. Loud failure if the data is absent:
+    # silently exporting the config grid would mis-place every zone.
+    geoms, geometry_source = None, "config"
+    if config.dataset_eval == "zjuL5":
+        from cfpnet_tpu.data.datasets import ZJUL5Dataset
+
+        ds = ZJUL5Dataset(config)
+        if ds.scale_geoms is None:
+            raise SystemExit(
+                f"{config.filenames_file_eval}: empty ZJUL5 sample list — "
+                "cannot derive the rig's measured zone geometry")
+        geoms, geometry_source = ds.scale_geoms, "measured:zjuL5"
 
     import jax
 
@@ -57,16 +94,17 @@ def main(argv=None):
     elif args.random_init:
         import jax.numpy as jnp
 
-        ecfg = config.replace(mode="online_eval")
+        ecfg = config
         model = make_model(ecfg, tiny=args.tiny)
-        geoms = model_geometries(ecfg, "online_eval")
+        igeoms = geoms if geoms is not None else model_geometries(
+            ecfg, "online_eval")
         h, w = ecfg.native_height, ecfg.native_width
-        zn = ecfg.eval_zone_num
+        zn = next(iter(igeoms.values())).zone_num
         variables = jax.jit(lambda r: model.init(
             {"params": r, "fusion": jax.random.fold_in(r, 1)},
             jnp.zeros((1, h, w, 3), jnp.float32),
             jnp.full((1, zn * zn, ecfg.zone_sample_num), 2.0, jnp.float32),
-            jnp.ones((1, zn * zn), bool), geoms, train=False,
+            jnp.ones((1, zn * zn), bool), igeoms, train=False,
         ))(jax.random.key(config.seed))
         params, batch_stats = variables["params"], variables.get("batch_stats")
     else:
@@ -78,6 +116,8 @@ def main(argv=None):
         protocol=args.serve_protocol,
         platforms=args.serve_platforms,
         tiny=args.tiny,
+        geoms=geoms,
+        geometry_source=geometry_source,
     )
     print(f"serving artifact written: {mpath}")
 
