@@ -163,6 +163,12 @@ class Config:
     # rematerialize backbone activations in the backward pass (trade FLOPs
     # for HBM — enables larger per-chip batch)
     remat: bool = False
+    # gradient accumulation: split each batch into this many microbatches,
+    # scan them sequentially, average gradients, apply ONE optimizer update
+    # (effective batch = bs at bs/grad_accum activation memory). BN running
+    # stats update per microbatch, chained through the scan — the same
+    # semantics as running grad_accum small steps.
+    grad_accum: int = 1
 
     # --- derived fields (reference src/config.py:118-121) ---
     mode: str = "train"

@@ -70,6 +70,19 @@ def make_mesh(dp_shards: int = 0, devices=None, batch_size: Optional[int] = None
     return Mesh(np.array(devices[:n]), ("data",))
 
 
+def make_mesh_2d(dp: int, sp: int, devices=None) -> Mesh:
+    """2-D ``('data', 'spatial')`` mesh: batch sharded over 'data', image
+    ROWS sharded over 'spatial'. Spatial partitioning is beyond parity (the
+    reference has no TP/SP of any kind — SURVEY §2.6): GSPMD splits every
+    conv spatially and inserts halo exchanges over ICI, so a single image's
+    latency scales across chips instead of only throughput."""
+    devices = list(devices if devices is not None else jax.devices())
+    if dp * sp > len(devices):
+        raise ValueError(
+            f"mesh {dp}x{sp} needs {dp * sp} devices, have {len(devices)}")
+    return Mesh(np.array(devices[: dp * sp]).reshape(dp, sp), ("data", "spatial"))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
@@ -86,3 +99,34 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
             lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)), batch
         )
     return jax.device_put(batch, sh)
+
+
+# batch keys laid out [B, H, W, C] — eligible for row ('spatial') sharding
+_SPATIAL_KEYS = ("image", "image_u8", "depth")
+
+
+def shard_batch_spatial(batch: dict, mesh: Mesh) -> dict:
+    """Place a host batch on a 2-D ``('data', 'spatial')`` mesh: [B,H,W,C]
+    arrays sharded (batch, rows), everything else batch-sharded and
+    replicated over 'spatial'. Inputs for ``make_eval_step`` under spatial
+    partitioning — the jitted step needs no changes; GSPMD propagates the
+    input sharding through the convs (halo exchanges) and regroups the
+    fusion/attention tokens with collectives."""
+    if "spatial" not in mesh.axis_names:
+        return shard_batch(batch, mesh)
+    if jax.process_count() > 1:
+        raise NotImplementedError(
+            "spatial partitioning is single-controller; use shard_batch "
+            "for multi-host DP")
+    return {
+        k: jax.device_put(
+            v,
+            NamedSharding(
+                mesh,
+                P("data", "spatial")
+                if k in _SPATIAL_KEYS and np.ndim(v) == 4
+                else P("data"),
+            ),
+        )
+        for k, v in batch.items()
+    }

@@ -104,14 +104,48 @@ def make_train_step(model, config, geoms, jit: bool = True):
     depth-reconstruction tail is pinned to f32 internally).
     """
     loss_fn = make_loss_fn(model, config, geoms)
+    accum = int(getattr(config, "grad_accum", 1) or 1)
 
-    def train_step(state: TrainState, batch: Dict, rng):
-        (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, batch, rng)
-        state = state.apply_gradients(
-            grads=grads, batch_stats=updates["batch_stats"]
-        )
-        return state, loss
+    if accum <= 1:
+        def train_step(state: TrainState, batch: Dict, rng):
+            (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, state.batch_stats, batch, rng)
+            state = state.apply_gradients(
+                grads=grads, batch_stats=updates["batch_stats"]
+            )
+            return state, loss
+    else:
+        def train_step(state: TrainState, batch: Dict, rng):
+            # --grad_accum: lax.scan over microbatches inside ONE compiled
+            # graph — activation memory scales with bs/accum while the
+            # optimizer sees the mean gradient over the full batch. BN
+            # running stats thread sequentially through the scan (identical
+            # to running `accum` small steps); batch *statistics* are
+            # per-microbatch, matching the reference's per-replica
+            # DataParallel BN more closely than the full-batch path.
+            bs = jax.tree_util.tree_leaves(batch)[0].shape[0]
+            if bs % accum != 0:
+                raise ValueError(
+                    f"--grad_accum {accum} does not divide batch size {bs}")
+            micro = jax.tree_util.tree_map(
+                lambda x: x.reshape((accum, bs // accum) + x.shape[1:]), batch)
+
+            def body(carry, xs):
+                stats, gsum, lsum = carry
+                mb, i = xs
+                (loss, updates), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(
+                        state.params, stats, mb, jax.random.fold_in(rng, i))
+                gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
+                return (updates["batch_stats"], gsum, lsum + loss), None
+
+            gzero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (stats, gsum, lsum), _ = jax.lax.scan(
+                body, (state.batch_stats, gzero, jnp.zeros(())),
+                (micro, jnp.arange(accum)))
+            grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
+            state = state.apply_gradients(grads=grads, batch_stats=stats)
+            return state, lsum / accum
 
     if not jit:
         return train_step
