@@ -112,6 +112,12 @@ class Config:
     eval_bs: int = 1
     # device mesh: number of data-parallel shards (0 = all local devices).
     dp_shards: int = 0
+    # eval-side spatial partitioning (beyond parity): shard image ROWS over
+    # an sp-way 'spatial' mesh axis (2-D ('data','spatial') mesh,
+    # parallel/mesh.make_mesh_2d) so a single image's latency scales across
+    # chips. 0/1 = off. Used by evaluate_all/evaluate (ADVICE r3: the 2-D
+    # mesh needs a CLI entry point, not just a library surface).
+    spatial_shards: int = 0
     # multi-host (SURVEY §2.7): initialize jax.distributed before building
     # the mesh. Coordinator/process identity may be given explicitly or
     # auto-detected from the TPU-pod environment.
@@ -167,7 +173,11 @@ class Config:
     # scan them sequentially, average gradients, apply ONE optimizer update
     # (effective batch = bs at bs/grad_accum activation memory). BN running
     # stats update per microbatch, chained through the scan — the same
-    # semantics as running grad_accum small steps.
+    # semantics as running grad_accum small steps. NOTE (ADVICE r3): the
+    # logged loss is the arithmetic mean of per-microbatch silog losses;
+    # silog is non-linear in the batch, so loss curves are not directly
+    # comparable across different grad_accum settings (gradients match the
+    # oracle semantics either way — tests/test_grad_accum.py).
     grad_accum: int = 1
 
     # --- derived fields (reference src/config.py:118-121) ---

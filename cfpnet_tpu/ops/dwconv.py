@@ -37,31 +37,47 @@ def depthwise_conv2d(
       for large kernels (used only for C > densify_threshold, i.e. the
       backbone's small k=3 depthwise convs where it is fine).
     - channel-diagonal DENSE conv (Cx FLOP waste on the MXU): 4.9 ms.
-    - FFT convolution (this is a linear convolution: the padded transform
-      length H+k-1 prevents wraparound; the kernel is flipped because FFT
-      computes convolution while XLA convs compute correlation): 0.94 ms.
-      Used when k >= fft_threshold. f32 roundoff vs the direct conv is
-      ~1e-5 relative.
+    - truncated-DFT-as-matmul linear convolution: 0.59 ms f32-HIGHEST
+      (vs 2.30 ms for XLA:TPU's ``fft`` lowering of the same transform and
+      0.94 ms for ``jnp.fft`` end-to-end). Used when k >= fft_threshold,
+      on EVERY backend: the DFT path is pure einsums, so GSPMD shards it
+      cleanly (spatial partitioning), while XLA:CPU's fft thunk rejects
+      row-sharded operand layouts outright (fft_thunk.cc
+      IsMonotonicWithDim0Major check — the r3 multichip-dryrun crash).
+      One algorithm everywhere also means goldens are backend-portable.
+      f32 roundoff vs the direct conv is ~1e-5 relative; f64 inputs get
+      f64 matrices (the reference-parity suite runs through here); bf16
+      inputs use bf16 DFT matrices at DEFAULT precision (one MXU pass,
+      drift bounded by tests/test_dwconv_dft.py).
+    - kernel-covers-map guard: mid-size kernels whose extent reaches the
+      feature map (k >= min(H, W) — e.g. the deepest fusion stage of a
+      sub-native-resolution model: k=7 on a 4x6 map) ALSO take the DFT
+      path. XLA's SPMD partitioner (jax 0.9.0) miscompiles spatially
+      row-sharded DENSE convs in exactly this regime — every output
+      element wrong by O(1) on a ('data'>=2, 'spatial'=2) mesh, verified
+      f64, cache-disabled, CPU; grouped and k<extent convs are unaffected
+      (tests/test_spatial.py::test_sharded_small_map_conv_dispatch). The
+      DFT matmul is also simply the right algorithm when the kernel
+      covers the map.
     """
     c = x.shape[-1]
     kh, kw = kernel.shape[0], kernel.shape[1]
+    H, W = x.shape[1], x.shape[2]
     pad = [((kh - 1) // 2, (kh - 1) // 2), ((kw - 1) // 2, (kw - 1) // 2)]
-    if min(kh, kw) >= fft_threshold:
-        if jax.default_backend() == "tpu":
-            # XLA:TPU's fft lowering is ~4x slower than the same transform
-            # as explicit DFT matmuls (measured r3: k=31 @120x160x32 bs=8
-            # net 2.30 ms fft vs 0.59 ms DFT at HIGHEST precision, equal
-            # accuracy). CPU keeps jnp.fft (faster there, and pins goldens).
-            # Under the guarded bf16 compute mode the matrices are bf16 at
-            # DEFAULT precision (one MXU pass instead of f32-HIGHEST's six;
-            # ~1e-3 extra relative error, inside the mode's drift budget —
-            # tests/test_dwconv_dft.py::test_dft_depthwise_bf16_accuracy).
-            if x.dtype == jnp.bfloat16:
-                out = _dft_depthwise(x, kernel, mat_dtype=jnp.bfloat16)
-            else:
-                out = _dft_depthwise(x, kernel, precision=lax.Precision.HIGHEST)
+    if min(kh, kw) >= fft_threshold or min(kh, kw) >= min(H, W):
+        if x.dtype == jnp.bfloat16:
+            # bf16 DFT matrices halve the MXU passes on TPU; off-TPU they
+            # buy nothing and XLA:CPU's eager DotThunk cannot even execute
+            # a bf16x bf16 -> f32 dot, so non-TPU backends upcast to f32
+            # matrices (accumulation is f32 either way, output stays bf16)
+            mat = (jnp.bfloat16 if jax.default_backend() == "tpu"
+                   else jnp.float32)
+            out = _dft_depthwise(x, kernel, mat_dtype=mat)
+        elif x.dtype == jnp.float64:
+            out = _dft_depthwise(x, kernel, mat_dtype=jnp.float64,
+                                 precision=lax.Precision.HIGHEST)
         else:
-            out = _fft_depthwise(x, kernel)
+            out = _dft_depthwise(x, kernel, precision=lax.Precision.HIGHEST)
     elif c <= densify_threshold:
         # dense[ky,kx,i,o] = kernel[ky,kx,0,o] if i == o else 0
         dense = kernel.reshape(kh, kw, 1, c) * jnp.eye(c, dtype=kernel.dtype)[None, None]
@@ -191,10 +207,14 @@ def _dft_depthwise(x: jnp.ndarray, kernel: jnp.ndarray,
 def _fft_depthwise(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     """Linear FFT convolution equal to the SAME-padded correlation above.
 
-    Transform length is exactly H+k-1: rounding up to 5-smooth sizes
-    (150x190 -> 150x192 etc.) was tried and MEASURED SLOWER end-to-end on
-    the v5e (bs=1 6.38 -> 7.17 ms, bs=8 218 -> 175 fps) — XLA:TPU's FFT
-    cost tracks transform size, not radix smoothness. Don't "optimize" this.
+    No longer on the production dispatch path (r4): XLA:CPU's fft thunk
+    crashes on sharded operand layouts, so ``depthwise_conv2d`` routes all
+    large-kernel convs through ``_dft_depthwise`` on every backend. Kept as
+    the independent numerical oracle for tests/test_dwconv_dft.py and for
+    microbenchmarks. Transform length is exactly H+k-1: rounding up to
+    5-smooth sizes (150x190 -> 150x192 etc.) was tried and MEASURED SLOWER
+    end-to-end on the v5e (bs=1 6.38 -> 7.17 ms, bs=8 218 -> 175 fps) —
+    XLA:TPU's FFT cost tracks transform size, not radix smoothness.
     """
     B, H, W, C = x.shape
     kh, kw = kernel.shape[0], kernel.shape[1]

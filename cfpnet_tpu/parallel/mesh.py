@@ -70,16 +70,21 @@ def make_mesh(dp_shards: int = 0, devices=None, batch_size: Optional[int] = None
     return Mesh(np.array(devices[:n]), ("data",))
 
 
-def make_mesh_2d(dp: int, sp: int, devices=None) -> Mesh:
+def make_mesh_2d(dp: int, sp: int, devices=None,
+                 batch_size: Optional[int] = None) -> Mesh:
     """2-D ``('data', 'spatial')`` mesh: batch sharded over 'data', image
     ROWS sharded over 'spatial'. Spatial partitioning is beyond parity (the
     reference has no TP/SP of any kind — SURVEY §2.6): GSPMD splits every
     conv spatially and inserts halo exchanges over ICI, so a single image's
     latency scales across chips instead of only throughput."""
+    if dp < 1 or sp < 1:
+        raise ValueError(f"mesh axes must be >= 1, got dp={dp} sp={sp}")
     devices = list(devices if devices is not None else jax.devices())
     if dp * sp > len(devices):
         raise ValueError(
             f"mesh {dp}x{sp} needs {dp * sp} devices, have {len(devices)}")
+    if batch_size is not None and batch_size % dp != 0:
+        raise ValueError(f"batch {batch_size} not divisible by dp={dp}")
     return Mesh(np.array(devices[: dp * sp]).reshape(dp, sp), ("data", "spatial"))
 
 
@@ -101,7 +106,10 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     return jax.device_put(batch, sh)
 
 
-# batch keys laid out [B, H, W, C] — eligible for row ('spatial') sharding
+# batch keys KNOWN to be laid out [B, H, W, C]; any OTHER 4-D key is also
+# row-sharded (ADVICE r3: a new image-like key silently falling back to
+# batch-only sharding would be a quiet perf regression) — zone-indexed 4-D
+# tensors would have to opt OUT here, and none exist today.
 _SPATIAL_KEYS = ("image", "image_u8", "depth")
 
 
@@ -123,9 +131,7 @@ def shard_batch_spatial(batch: dict, mesh: Mesh) -> dict:
             v,
             NamedSharding(
                 mesh,
-                P("data", "spatial")
-                if k in _SPATIAL_KEYS and np.ndim(v) == 4
-                else P("data"),
+                P("data", "spatial") if np.ndim(v) == 4 else P("data"),
             ),
         )
         for k, v in batch.items()

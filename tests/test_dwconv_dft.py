@@ -1,9 +1,9 @@
 """DFT-matmul depthwise convolution: equivalence + gradients.
 
-``ops.dwconv._dft_depthwise`` is the TPU production path for large-kernel
-depthwise convs (dispatched in ``depthwise_conv2d`` when the default
-backend is TPU); on CPU the dispatcher keeps ``_fft_depthwise``. These
-tests pin the DFT formulation to the FFT/linear-convolution semantics the
+``ops.dwconv._dft_depthwise`` is the production path for large-kernel
+depthwise convs on EVERY backend (r4: XLA:CPU's fft thunk rejects
+row-sharded layouts, so the FFT variant is now a test oracle only). These
+tests pin the DFT formulation to the linear-convolution semantics the
 goldens and the f64 reference-parity test are built on
 (reference conv: /root/reference/src/models/convnext.py:30).
 """
@@ -126,12 +126,31 @@ def test_dft_depthwise_bf16_accuracy():
             err.max(), err_floor.max())
 
 
-def test_dispatch_unchanged_on_cpu():
-    # the public dispatcher keeps the FFT path off-TPU, so goldens and the
-    # f64 reference-parity suite are unaffected by the TPU-only DFT path
+def test_dispatch_uses_dft_on_every_backend():
+    # r4: the public dispatcher routes k>=13 through the DFT-matmul path on
+    # every backend (GSPMD-safe pure einsums; jnp.fft on CPU crashes under
+    # spatial sharding) — dispatch output must be bit-identical to the DFT
+    # helper and stay within FFT-oracle tolerance.
     rng = np.random.RandomState(4)
     x = jnp.asarray(rng.randn(1, 20, 22, 4), jnp.float32)
     kern = jnp.asarray(rng.randn(13, 13, 1, 4) * 0.1, jnp.float32)
     got = depthwise_conv2d(x, kern)
-    ref = _fft_depthwise(x, kern)
+    ref = _dft_depthwise(x, kern, precision=jax.lax.Precision.HIGHEST)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    oracle = _fft_depthwise(x, kern)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(oracle),
+                               rtol=0, atol=5e-4)
+
+
+def test_dispatch_f64_keeps_f64_matrices():
+    # the f64 reference-parity suite runs through the dispatcher; f64
+    # inputs must get f64 DFT matrices (a silent f32 downcast would show
+    # up as ~1e-5 error here instead of ~1e-12)
+    with enable_x64():
+        rng = np.random.RandomState(6)
+        x = jnp.asarray(rng.randn(1, 18, 21, 3), jnp.float64)
+        kern = jnp.asarray(rng.randn(13, 13, 1, 3) * 0.1, jnp.float64)
+        got = depthwise_conv2d(x, kern)
+        ref = _direct(x, kern)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-10, atol=1e-10)

@@ -105,7 +105,12 @@ def test_batched_eval_matches_bs1(tiny_config):
     m2 = evaluate(model, cfg, params, stats, DataLoader(wrapped, batch_size=2))
     assert set(m1) == set(m2)
     for k in m1:
-        assert m1[k] == pytest.approx(m2[k], rel=1e-5), k
+        # a1/a2/a3 are means of per-pixel threshold INDICATORS: a single
+        # near-threshold pixel flipping under bs-dependent XLA reassociation
+        # moves them by 1/(valid px) ~ 3e-5 on these tiny images. Allow a
+        # few flips; the continuous metrics stay at f32 roundoff.
+        tol = 2e-4 if k in ("a1", "a2", "a3") else 1e-5
+        assert m1[k] == pytest.approx(m2[k], rel=tol), k
 
 
 @pytest.mark.slow

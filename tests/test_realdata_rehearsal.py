@@ -21,7 +21,8 @@ import pytest
 @pytest.fixture
 def official_mat(tmp_path):
     """Fabricate the official .mat pair (h5 layout: images [N,3,W,H],
-    depths [N,W,H], scenes = h5 references to uint16 char arrays)."""
+    rawDepths [N,W,H], sceneTypes = h5 references to uint16 char arrays —
+    the datasets the reference converter reads, :80-84)."""
     import h5py
     import scipy.io
 
@@ -31,7 +32,9 @@ def official_mat(tmp_path):
     mat = tmp_path / "nyu_depth_v2_labeled.mat"
     with h5py.File(mat, "w") as f:
         f["images"] = (rng.random((n, 3, 640, 480)) * 255).astype(np.uint8)
-        f["depths"] = rng.uniform(0.6, 4.2, (n, 640, 480)).astype(np.float32)
+        f["rawDepths"] = rng.uniform(0.6, 4.2, (n, 640, 480)).astype(np.float32)
+        # the inpainted 'depths' must NOT be read (reference :82): poison it
+        f["depths"] = np.full((n, 640, 480), 99.0, np.float32)
         refs = []
         for i, name in enumerate(scenes):
             d = f.create_dataset(
@@ -40,7 +43,7 @@ def official_mat(tmp_path):
             )
             refs.append(d.ref)
         f.create_dataset(
-            "scenes", data=np.array([refs], dtype=object),
+            "sceneTypes", data=np.array([refs], dtype=object),
             dtype=h5py.ref_dtype,
         )
     splits = tmp_path / "splits.mat"
@@ -74,8 +77,15 @@ def test_extractor_layout(official_mat, tmp_path):
     )
     assert dep.dtype == np.int32 or dep.dtype == np.uint16
     assert dep.shape == (480, 640)
-    assert dep[:7].max() == 0 and dep[:, -7:].max() == 0  # border mask
+    # reference :57-59 leaves the depth frame UNTOUCHED (r3 wrongly zeroed
+    # a border); rawDepths uniform(0.6, 4.2) m -> border stays in-range mm
+    assert dep[:7].min() >= 600
     assert 600 <= dep[240, 320] <= 4200  # millimeters
+    # the RGB border is composited onto black zeros (reference :61-62)
+    rgb = np.asarray(
+        Image.open(out / "test" / "kitchen_0001" / "rgb_00001.jpg").convert("RGB")
+    )
+    assert rgb[:6].mean() < 3.0 and rgb[:, 633:].mean() < 3.0  # JPEG-fuzzy
 
 
 @pytest.mark.slow

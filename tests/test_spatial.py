@@ -37,21 +37,74 @@ def _eval_setup(tiny_config):
     return cfg, variables, batch, step
 
 
-def test_spatial_sharded_eval_matches_single_device(tiny_config):
+import pytest
+
+
+@pytest.mark.parametrize("dp,sp", [(2, 4), (2, 2)])
+def test_spatial_sharded_eval_matches_single_device(tiny_config, dp, sp):
+    # (2, 2) is not redundant with (2, 4): jax 0.9.0's SPMD partitioner
+    # miscompiled kernel-covers-map dense convs on exactly the
+    # (data>=2, spatial=2) shape (see test_sharded_small_map_conv_dispatch)
     cfg, variables, batch, step = _eval_setup(tiny_config)
     params, stats = variables["params"], variables.get("batch_stats")
 
     ref, _ = step(params, stats, jax.device_put(batch))
     ref = np.asarray(ref)
 
-    mesh = make_mesh_2d(2, 4)  # bs=2 over 'data', 64 rows over 'spatial'
+    mesh = make_mesh_2d(dp, sp)  # bs=2 over 'data', 64 rows over 'spatial'
     sharded = shard_batch_spatial(batch, mesh)
     img_key = "image_u8" if "image_u8" in sharded else "image"
     spec = sharded[img_key].sharding.spec
     assert tuple(spec) == ("data", "spatial"), spec
 
     got, _ = step(params, stats, sharded)
-    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-5)
+    # tolerance is f32-reassociation noise amplified through ~20 layers of
+    # the net (measured clean to 1e-12 under f64 on both mesh shapes)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=1.5e-3)
+
+
+def test_sharded_small_map_conv_dispatch(tiny_config):
+    """Kernel-covers-map depthwise convs must be GSPMD-safe on a (2, 2)
+    mesh, in f64 (regression for the r4 dryrun red).
+
+    Root cause being guarded against: XLA's SPMD partitioner (jax 0.9.0)
+    miscompiles spatially row-sharded DENSE convolutions whose halo reaches
+    across shards on a ('data'>=2, 'spatial'==2) mesh — EVERY output
+    element wrong by O(1), reproduced in f64 with the compilation cache
+    disabled (so not roundoff, not stale-AOT poisoning). The densified
+    channel-diagonal formulation of mid-size depthwise kernels hit this at
+    the deepest fusion scale (k=7 on a 4x6 map). ``depthwise_conv2d`` now
+    routes any kernel with min(k) >= min(H, W) through the DFT-matmul path
+    (pure einsums — partitioner-safe); this test pins both the routing and
+    the numerics.
+    """
+    from jax import lax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from cfpnet_tpu.ops.dwconv import depthwise_conv2d
+
+    with jax.enable_x64(True):
+        rng = np.random.RandomState(0)
+        x = jax.numpy.asarray(rng.randn(4, 4, 6, 32))
+        kern = jax.numpy.asarray(rng.randn(7, 7, 1, 32) * 0.1)
+        assert x.dtype == jax.numpy.float64
+
+        def direct(x):
+            return lax.conv_general_dilated(
+                x, kern, (1, 1), [(3, 3), (3, 3)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=x.shape[-1])
+
+        ref = np.asarray(jax.jit(direct)(x))
+        got = np.asarray(jax.jit(lambda x: depthwise_conv2d(x, kern))(x))
+        np.testing.assert_allclose(got, ref, rtol=0, atol=1e-12)
+
+        mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2),
+                    ("data", "spatial"))
+        xs = jax.device_put(x, NamedSharding(mesh, P("data", "spatial")))
+        got_sh = np.asarray(
+            jax.jit(lambda x: depthwise_conv2d(x, kern))(xs))
+        np.testing.assert_allclose(got_sh, got, rtol=0, atol=1e-12)
 
 
 def test_mesh_2d_rejects_oversubscription(tiny_config):
@@ -59,6 +112,30 @@ def test_mesh_2d_rejects_oversubscription(tiny_config):
 
     with pytest.raises(ValueError, match="devices"):
         make_mesh_2d(4, 4)  # 16 > the 8 virtual devices
+    with pytest.raises(ValueError, match=">= 1"):
+        make_mesh_2d(0, 4)  # ADVICE r3: dp=0 built an empty mesh
+    with pytest.raises(ValueError, match="divisible"):
+        make_mesh_2d(3, 2, batch_size=4)
+
+
+def test_evaluate_driver_spatial_shards_flag(tiny_config):
+    """--spatial_shards N is the CLI entry point for the 2-D mesh (ADVICE
+    r3 item 4): the full ``evaluate`` metric sweep through a spatially
+    sharded step must match the unsharded sweep."""
+    from cfpnet_tpu.data.pipeline import DataLoader
+    from cfpnet_tpu.train.loop import evaluate
+
+    cfg, variables, batch, step = _eval_setup(tiny_config)
+    params, stats = variables["params"], variables.get("batch_stats")
+    ds = SyntheticDataset(cfg, "online_eval", length=4)
+    loader = DataLoader(ds, batch_size=2)
+    want = evaluate(make_model(cfg, tiny=True), cfg, params, stats, loader)
+    loader2 = DataLoader(ds, batch_size=2)
+    got = evaluate(make_model(cfg, tiny=True),
+                   cfg.replace(spatial_shards=4), params, stats, loader2)
+    assert want and set(got) == set(want)
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], rtol=5e-4, atol=1e-5)
 
 
 def test_shard_batch_spatial_on_1d_mesh_falls_back(tiny_config):
