@@ -34,9 +34,42 @@ from typing import List, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
+from flax.linen import dtypes as flax_dtypes
+from jax import lax
+
+from ..ops.dwconv import grouped_conv_safe
 
 BN_EPS = 1e-3
 BN_MOMENTUM = 0.9
+
+
+class DepthwiseConv(nn.Module):
+    """``nn.Conv(features, k, feature_group_count=features)`` with a
+    partitioner-safe kernel gradient (``ops.dwconv.grouped_conv_safe``).
+
+    Same param tree (``kernel`` [kh, kw, 1, C], lecun-normal, f32), same
+    TF-SAME padding rule and dtype promotion as ``nn.Conv`` — the forward
+    HLO is the identical grouped convolution, so goldens and the torch
+    parity suite are unaffected; only the VJP differs (see the op's
+    docstring for the XLA SPMD bug this sidesteps)."""
+
+    features: int
+    kernel: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (*self.kernel, 1, self.features),
+            jnp.float32,
+        )
+        x, k = flax_dtypes.promote_dtype(x, k, dtype=None)
+        pads = lax.padtype_to_pads(
+            x.shape[1:3], self.kernel, self.strides, "SAME")
+        return grouped_conv_safe(x, k, tuple(self.strides),
+                                 tuple(map(tuple, pads)))
 
 
 def _bn(name: str):
@@ -142,13 +175,10 @@ class InvertedResidual(nn.Module):
             use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS, name="bn1"
         )(x)
         x = nn.silu(x)
-        x = nn.Conv(
+        x = DepthwiseConv(
             mid,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
-            padding="SAME",
-            feature_group_count=mid,
-            use_bias=False,
             name="conv_dw",
         )(x)
         x = nn.BatchNorm(

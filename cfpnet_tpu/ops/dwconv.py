@@ -86,14 +86,90 @@ def depthwise_conv2d(
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
     else:
-        out = lax.conv_general_dilated(
-            x, kernel, window_strides=(1, 1), padding=pad,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=c,
-        )
+        out = grouped_conv_safe(x, kernel, (1, 1), tuple(map(tuple, pad)))
     if bias is not None:
         out = out + bias
     return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def grouped_conv_safe(x: jnp.ndarray, kernel: jnp.ndarray,
+                      strides, pads) -> jnp.ndarray:
+    """``feature_group_count=C`` depthwise conv with a partitioner-safe
+    KERNEL gradient.
+
+    XLA's SPMD partitioner (jax 0.9.0) miscompiles the grouped-convolution
+    kernel-gradient (the ``batch_group_count`` HLO the conv VJP emits)
+    whenever the operand is batch-sharded on a mesh whose remaining axes
+    replicate it — e.g. ``P('data')`` on a 2-D ``('data','spatial')`` mesh:
+    dL/dW comes out wrong by O(grad) at EVERY map size (f64,
+    cache-disabled minimal repro; dL/dx and dense-conv gradients are
+    unaffected, and so is ``P('data')`` on a 1-D mesh — the production DP
+    path). The trap is silent: loss and forward stay correct while the
+    backbone's depthwise kernels stop learning.
+
+    This wrapper keeps the FORWARD as the native grouped conv (bit-identical
+    HLO — goldens and the torch-parity suite unaffected) and overrides the
+    VJP: dL/dx re-derives through ``jax.vjp`` of the forward with the kernel
+    held constant (lowers to the transposed GROUPED conv, which is clean),
+    and dL/dW is written out as kh*kw strided-window einsums (elementwise
+    multiply + reduce — partitioner-safe everywhere, and exactly the
+    contraction the conv VJP computes). Pinned by
+    tests/test_spatial.py::test_grouped_conv_kernel_grad_on_2d_mesh.
+
+    x: [B, H, W, C]; kernel: [kh, kw, 1, C]; strides/pads are static
+    (hashable tuples — ``((pt, pb), (pl, pr))``).
+    """
+    return lax.conv_general_dilated(
+        x, kernel, window_strides=strides, padding=pads,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=x.shape[-1],
+    )
+
+
+def _grouped_conv_fwd(x, kernel, strides, pads):
+    return grouped_conv_safe(x, kernel, strides, pads), (x, kernel)
+
+
+def _grouped_conv_bwd(strides, pads, res, dy):
+    x, kernel = res
+    kh, kw = kernel.shape[0], kernel.shape[1]
+    sh, sw = strides
+
+    # dL/dx: the conv VJP's input-gradient path alone (kernel held
+    # constant, RAW conv — not the custom_vjp wrapper, which would recurse
+    # into this function at trace time) — a transposed grouped conv, which
+    # partitions correctly.
+    def _raw(xx):
+        return lax.conv_general_dilated(
+            xx, kernel, window_strides=strides, padding=pads,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=xx.shape[-1],
+        )
+
+    _, pullback = jax.vjp(_raw, x)
+    (dx,) = pullback(dy)
+
+    # dL/dW[ky,kx,0,c] = sum_{b,h,w} xpad[b, h*sh+ky, w*sw+kx, c]*dy[b,h,w,c]
+    xp = jnp.pad(x, ((0, 0), pads[0], pads[1], (0, 0)))
+    B, Ho, Wo, C = dy.shape
+    acc = jnp.promote_types(jnp.float32, x.dtype)  # f32 accum for bf16 x
+    cols = []
+    for ky in range(kh):
+        for kx in range(kw):
+            win = lax.slice(
+                xp,
+                (0, ky, kx, 0),
+                (B, ky + (Ho - 1) * sh + 1, kx + (Wo - 1) * sw + 1, C),
+                (1, sh, sw, 1),
+            )
+            cols.append(jnp.einsum("bhwc,bhwc->c", win, dy,
+                                   preferred_element_type=acc))
+    dk = jnp.stack(cols).reshape(kh, kw, 1, C).astype(kernel.dtype)
+    return dx, dk
+
+
+grouped_conv_safe.defvjp(_grouped_conv_fwd, _grouped_conv_bwd)
 
 
 @functools.lru_cache(maxsize=None)

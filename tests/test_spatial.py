@@ -138,6 +138,152 @@ def test_evaluate_driver_spatial_shards_flag(tiny_config):
         np.testing.assert_allclose(got[k], want[k], rtol=5e-4, atol=1e-5)
 
 
+def _mesh22():
+    from jax.sharding import Mesh
+
+    return Mesh(np.array(jax.devices()[:4]).reshape(2, 2),
+                ("data", "spatial"))
+
+
+def _raw_grouped(x, kern, strides, pads):
+    from jax import lax
+
+    return lax.conv_general_dilated(
+        x, kern, strides, pads,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=x.shape[-1])
+
+
+def test_grouped_conv_kernel_grad_on_2d_mesh(tiny_config):
+    """``grouped_conv_safe``'s kernel gradient must match single-device
+    autodiff when the operand is batch-sharded on a 2-D mesh.
+
+    The raw grouped conv's VJP emits a ``batch_group_count`` convolution
+    that XLA's SPMD partitioner (jax 0.9.0) miscompiles for operands
+    sharded ``P('data')`` on a ('data','spatial') mesh — dL/dW wrong by
+    O(grad) at every map size while forward and dL/dx stay correct (the
+    backbone's depthwise kernels would silently stop learning). The
+    custom-VJP wrapper computes dL/dW as k*k strided-window einsums
+    instead; forward HLO is unchanged. See the canary test below for
+    upstream status."""
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cfpnet_tpu.ops.dwconv import grouped_conv_safe
+
+    rng = np.random.RandomState(0)
+    for s in (1, 2):
+        x = jnp.asarray(rng.randn(4, 9, 13, 8), jnp.float32)
+        kern = jnp.asarray(rng.randn(3, 3, 1, 8) * 0.3, jnp.float32)
+        pads = tuple(map(tuple, lax.padtype_to_pads(
+            (9, 13), (3, 3), (s, s), "SAME")))
+
+        def loss(x, kern):
+            return jnp.sum(jnp.sin(grouped_conv_safe(x, kern, (s, s), pads)))
+
+        # forward bit-identical to the native grouped conv
+        np.testing.assert_array_equal(
+            np.asarray(jax.jit(
+                lambda x, k: grouped_conv_safe(x, k, (s, s), pads))(x, kern)),
+            np.asarray(jax.jit(
+                lambda x, k: _raw_grouped(x, k, (s, s), pads))(x, kern)))
+
+        g = jax.jit(jax.grad(loss, (0, 1)))
+        gx_ref, gk_ref = jax.device_get(g(x, kern))
+        # raw-conv autodiff agrees on a single device (reassociation only)
+        def loss_raw(x, kern):
+            return jnp.sum(jnp.sin(_raw_grouped(x, kern, (s, s), pads)))
+        gx_raw, gk_raw = jax.device_get(jax.jit(jax.grad(loss_raw, (0, 1)))(x, kern))
+        np.testing.assert_allclose(np.asarray(gk_ref), np.asarray(gk_raw),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gx_ref), np.asarray(gx_raw),
+                                   rtol=1e-4, atol=1e-6)
+        # the regression: batch-sharded on the 2-D mesh
+        xs = jax.device_put(x, NamedSharding(_mesh22(), P("data")))
+        gx_sh, gk_sh = jax.device_get(g(xs, kern))
+        np.testing.assert_allclose(np.asarray(gk_sh), np.asarray(gk_ref),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gx_sh), np.asarray(gx_ref),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_train_step_grads_on_2d_mesh_dp_only(tiny_config):
+    """Full train-step gradients on a 2-D mesh with batch-only sharding
+    must match single-device (the model-level consequence of the grouped-
+    conv VJP fix: before it, every backbone conv_dw kernel gradient came
+    out wrong by O(grad) in exactly this configuration while the loss
+    stayed correct). lr=1 SGD so the param delta IS the mean gradient.
+
+    Train-side SPATIAL sharding (P('data','spatial') batches into the
+    train step) remains unsupported: the full-graph backward still
+    miscompiles elsewhere under XLA 0.9.0's partitioner (isolated ops all
+    verify clean; the composition does not — PARITY.md round-4 notes)."""
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cfpnet_tpu.data.pipeline import collate
+    from cfpnet_tpu.models.deltar import model_geometries
+    from cfpnet_tpu.train.steps import create_train_state, make_train_step
+
+    cfg = tiny_config.replace(bs=4)
+    model = make_model(cfg, tiny=True)
+    geoms = model_geometries(cfg, "train")
+    ds = SyntheticDataset(cfg, "train", length=4)
+    batch = collate([ds[i] for i in range(4)])
+    rng = jax.random.key(0)
+    state = create_train_state(
+        model, cfg, rng, jax.device_put(batch), geoms, optax.sgd(1.0))
+    step = jax.jit(make_train_step(model, cfg, geoms, jit=False))
+    srng = jax.random.fold_in(rng, 1)
+
+    ref_state, ref_loss = step(state, jax.device_put(batch), srng)
+    sharded = {k: jax.device_put(v, NamedSharding(_mesh22(), P("data")))
+               for k, v in batch.items()}
+    got_state, got_loss = step(state, sharded, srng)
+
+    np.testing.assert_allclose(float(got_loss), float(ref_loss), rtol=1e-5)
+    deltas_ref = jax.tree_util.tree_map(
+        lambda o, n: np.asarray(o, np.float64) - np.asarray(n, np.float64),
+        state.params, ref_state.params)
+    gscale = max(float(np.max(np.abs(np.asarray(g))))
+                 for g in jax.tree_util.tree_leaves(deltas_ref))
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(got_state.params),
+            jax.tree_util.tree_leaves_with_path(ref_state.params)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float64), np.asarray(b, np.float64),
+            rtol=0, atol=max(1e-6, 2e-3 * gscale),
+            err_msg=f"param {jax.tree_util.keystr(pa)}")
+
+
+@pytest.mark.xfail(
+    strict=True,
+    reason="UPSTREAM CANARY: XLA SPMD (jax 0.9.0) miscompiles the grouped-"
+           "conv kernel gradient for P('data') operands on a 2-D mesh. "
+           "When this test XPASSes, the upstream bug is FIXED — re-evaluate "
+           "whether ops.dwconv.grouped_conv_safe's custom VJP is still "
+           "needed (and whether train-side spatial sharding can be "
+           "supported, see PARITY.md round-4 notes).")
+def test_upstream_grouped_conv_vjp_canary(tiny_config):
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(4, 8, 12, 8), jnp.float32)
+    kern = jnp.asarray(rng.randn(3, 3, 1, 8) * 0.3, jnp.float32)
+    pads = ((1, 1), (1, 1))
+
+    def loss(x, kern):
+        return jnp.sum(jnp.sin(_raw_grouped(x, kern, (1, 1), pads)))
+
+    g = jax.jit(jax.grad(loss, argnums=1))
+    ref = np.asarray(jax.device_get(g(x, kern)))
+    xs = jax.device_put(x, NamedSharding(_mesh22(), P("data")))
+    got = np.asarray(jax.device_get(g(xs, kern)))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
 def test_shard_batch_spatial_on_1d_mesh_falls_back(tiny_config):
     from cfpnet_tpu.parallel.mesh import make_mesh
 
