@@ -112,6 +112,12 @@ class Config:
     eval_bs: int = 1
     # device mesh: number of data-parallel shards (0 = all local devices).
     dp_shards: int = 0
+    # partitioner-safe depthwise kernel gradients. REQUIRED when training
+    # over any multi-axis mesh: XLA 0.9.0's SPMD partitioner silently
+    # miscompiles the native grouped-conv dL/dW there (loss stays correct —
+    # PARITY.md round-4 notes). Off by default: the production 1-D DP mesh
+    # is unaffected and the safe formulation costs ~5% per train step.
+    safe_dw_vjp: bool = False
     # eval-side spatial partitioning (beyond parity): shard image ROWS over
     # an sp-way 'spatial' mesh axis (2-D ('data','spatial') mesh,
     # parallel/mesh.make_mesh_2d) so a single image's latency scales across

@@ -51,6 +51,10 @@ class Deltar(nn.Module):
     # rematerialize the image encoder in the backward pass (jax.checkpoint):
     # recompute backbone activations instead of holding them in HBM
     remat: bool = False
+    # partitioner-safe depthwise kernel gradients (REQUIRED for training on
+    # any multi-axis mesh; ~5% train-step cost — see
+    # models/efficientnetv2.py::DepthwiseConv)
+    safe_dw_vjp: bool = False
 
     @nn.compact
     def __call__(
@@ -64,9 +68,10 @@ class Deltar(nn.Module):
         enc_cls = ImageEncoder
         if self.remat:
             enc_cls = nn.remat(ImageEncoder, static_argnums=(2,))
-        img_features = enc_cls(self.stem_chs, self.stages, name="img_encoder")(
-            rgb, train
-        )
+        img_features = enc_cls(
+            self.stem_chs, self.stages, safe_dw_vjp=self.safe_dw_vjp,
+            name="img_encoder",
+        )(rgb, train)
         hc = tuple(c // 2 for c in (self.decoder_channels[3], self.decoder_channels[2],
                                     self.decoder_channels[1]))
         hist_features = HistogramEncoder(hc, name="hist_encoder")(
@@ -127,6 +132,7 @@ def make_model(config, tiny: bool = False) -> Deltar:
         change_embedding=config.change_embedding,
         no_skip_inside=config.no_skip_inside,
         native_resolution=(config.native_height, config.native_width),
+        safe_dw_vjp=getattr(config, "safe_dw_vjp", False),
     )
     if tiny:
         kw.update(

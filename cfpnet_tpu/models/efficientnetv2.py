@@ -44,18 +44,29 @@ BN_MOMENTUM = 0.9
 
 
 class DepthwiseConv(nn.Module):
-    """``nn.Conv(features, k, feature_group_count=features)`` with a
-    partitioner-safe kernel gradient (``ops.dwconv.grouped_conv_safe``).
+    """``nn.Conv(features, k, feature_group_count=features)`` with an
+    optional partitioner-safe kernel gradient
+    (``ops.dwconv.grouped_conv_safe``).
 
     Same param tree (``kernel`` [kh, kw, 1, C], lecun-normal, f32), same
     TF-SAME padding rule and dtype promotion as ``nn.Conv`` — the forward
-    HLO is the identical grouped convolution, so goldens and the torch
-    parity suite are unaffected; only the VJP differs (see the op's
-    docstring for the XLA SPMD bug this sidesteps)."""
+    HLO is the identical grouped convolution either way, so goldens and
+    the torch parity suite are unaffected.
+
+    ``safe_vjp=True`` swaps dL/dW to the k*k strided-einsum formulation,
+    which XLA's SPMD partitioner handles correctly on multi-axis meshes
+    where the native ``batch_group_count`` kernel-gradient silently
+    miscompiles (see grouped_conv_safe's docstring). It costs ~5% on the
+    production train step (measured: 127.4 -> 133.5 ms bs=16 @416x544
+    bf16 on a v5e), so it is OFF by default: the 1-D DP production mesh
+    is unaffected by the bug (bit-equal test), and any 2-D-mesh training
+    MUST construct the model with ``--safe_dw_vjp``
+    (tests/test_spatial.py::test_train_step_grads_on_2d_mesh_dp_only)."""
 
     features: int
     kernel: Tuple[int, int]
     strides: Tuple[int, int] = (1, 1)
+    safe_vjp: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -66,10 +77,15 @@ class DepthwiseConv(nn.Module):
             jnp.float32,
         )
         x, k = flax_dtypes.promote_dtype(x, k, dtype=None)
-        pads = lax.padtype_to_pads(
-            x.shape[1:3], self.kernel, self.strides, "SAME")
-        return grouped_conv_safe(x, k, tuple(self.strides),
-                                 tuple(map(tuple, pads)))
+        pads = tuple(map(tuple, lax.padtype_to_pads(
+            x.shape[1:3], self.kernel, self.strides, "SAME")))
+        if self.safe_vjp:
+            return grouped_conv_safe(x, k, tuple(self.strides), pads)
+        return lax.conv_general_dilated(
+            x, k, window_strides=tuple(self.strides), padding=pads,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=x.shape[-1],
+        )
 
 
 def _bn(name: str):
@@ -164,6 +180,7 @@ class InvertedResidual(nn.Module):
     kernel: int = 3
     stride: int = 1
     se_ratio: float = 0.25
+    safe_dw_vjp: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -179,6 +196,7 @@ class InvertedResidual(nn.Module):
             mid,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
+            safe_vjp=self.safe_dw_vjp,
             name="conv_dw",
         )(x)
         x = nn.BatchNorm(
@@ -247,6 +265,7 @@ class EfficientNetV2Features(nn.Module):
 
     stem_chs: int = V2_B3_STEM
     stages: Sequence[StageSpec] = V2_B3_STAGES
+    safe_dw_vjp: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
@@ -273,7 +292,7 @@ class EfficientNetV2Features(nn.Module):
                 else:
                     x = InvertedResidual(
                         spec.out_chs, spec.exp_ratio, spec.kernel, stride, spec.se_ratio,
-                        name=name,
+                        safe_dw_vjp=self.safe_dw_vjp, name=name,
                     )(x, train)
             feats.append(x)
 

@@ -75,7 +75,10 @@ class ImageEncoder(nn.Module):
 
     stem_chs: int = V2_B3_STEM
     stages: Sequence[StageSpec] = V2_B3_STAGES
+    safe_dw_vjp: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
-        return EfficientNetV2Features(self.stem_chs, self.stages, name="backbone")(x, train)
+        return EfficientNetV2Features(
+            self.stem_chs, self.stages, safe_dw_vjp=self.safe_dw_vjp,
+            name="backbone")(x, train)

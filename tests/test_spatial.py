@@ -226,7 +226,9 @@ def test_train_step_grads_on_2d_mesh_dp_only(tiny_config):
     from cfpnet_tpu.models.deltar import model_geometries
     from cfpnet_tpu.train.steps import create_train_state, make_train_step
 
-    cfg = tiny_config.replace(bs=4)
+    # --safe_dw_vjp is REQUIRED on multi-axis meshes (off by default: ~5%
+    # train-step cost, and the 1-D production mesh is unaffected)
+    cfg = tiny_config.replace(bs=4, safe_dw_vjp=True)
     model = make_model(cfg, tiny=True)
     geoms = model_geometries(cfg, "train")
     ds = SyntheticDataset(cfg, "train", length=4)
