@@ -92,13 +92,12 @@ def train_config(config):
 
 class StageBudget:
     """Wall-clock gate for optional stages: a stage runs only when the
-    remaining budget covers its estimate (seeded from observed costs), and
-    a stage that raises is recorded, not fatal."""
+    remaining budget covers the caller's cost estimate, and a stage that
+    raises is recorded as skipped, not fatal."""
 
     def __init__(self, budget_s: float):
         self.t0 = time.monotonic()
         self.budget = budget_s
-        self.costs = {}
         self.skipped = []
 
     def elapsed(self) -> float:
@@ -108,13 +107,11 @@ class StageBudget:
         if self.elapsed() + est_s > self.budget:
             self.skipped.append(f"{name} (budget)")
             return None
-        t = time.monotonic()
         try:
             r = fn()
         except Exception as e:  # an extra must never kill the headline
             self.skipped.append(f"{name} (error: {type(e).__name__})")
             return None
-        self.costs[name] = time.monotonic() - t
         return r
 
 

@@ -33,11 +33,24 @@ from .attention import linear_attention
 from .dwconv import depthwise_conv2d
 
 _USE_PALLAS = False
+_SAFE_DW_VJP = False
 
 
 def set_use_pallas(flag: bool) -> None:
     global _USE_PALLAS
     _USE_PALLAS = bool(flag)
+
+
+def set_safe_dw_vjp(flag: bool) -> None:
+    """Process-wide mirror of ``--safe_dw_vjp`` for the fusion-path
+    depthwise convs (``dwconv2d``). The backbone threads the flag through
+    module fields (``models/efficientnetv2.DepthwiseConv``); the ops-path
+    grouped branch (C > densify_threshold — unreachable at the shipped
+    fusion dims 32/64/128 but live if channels are raised) honors the same
+    flag through this switch. Set by the drivers next to
+    ``set_use_pallas``."""
+    global _SAFE_DW_VJP
+    _SAFE_DW_VJP = bool(flag)
 
 
 def use_pallas() -> bool:
@@ -59,4 +72,4 @@ def dwconv2d(x, kernel, bias=None):
         from .pallas_dwconv import depthwise_conv2d_pallas
 
         return depthwise_conv2d_pallas(x, kernel, bias)
-    return depthwise_conv2d(x, kernel, bias)
+    return depthwise_conv2d(x, kernel, bias, safe_vjp=_SAFE_DW_VJP)

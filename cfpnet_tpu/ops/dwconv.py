@@ -25,6 +25,7 @@ def depthwise_conv2d(
     bias=None,
     densify_threshold: int = 128,
     fft_threshold: int = 13,
+    safe_vjp: bool = False,
 ) -> jnp.ndarray:
     """SAME-padded stride-1 depthwise conv.
 
@@ -36,6 +37,9 @@ def depthwise_conv2d(
     - XLA's native ``feature_group_count=C`` lowering: 22 ms — pathological
       for large kernels (used only for C > densify_threshold, i.e. the
       backbone's small k=3 depthwise convs where it is fine).
+      ``safe_vjp=True`` swaps this branch to ``grouped_conv_safe`` —
+      partitioner-safe dL/dW for multi-axis meshes (``--safe_dw_vjp``,
+      same opt-in contract as the backbone's ``DepthwiseConv``).
     - channel-diagonal DENSE conv (Cx FLOP waste on the MXU): 4.9 ms.
     - truncated-DFT-as-matmul linear convolution: 0.59 ms f32-HIGHEST
       (vs 2.30 ms for XLA:TPU's ``fft`` lowering of the same transform and
@@ -85,8 +89,17 @@ def depthwise_conv2d(
             x, dense, window_strides=(1, 1), padding=pad,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-    else:
+    elif safe_vjp:
+        # opt-in (--safe_dw_vjp, same contract as the backbone's
+        # DepthwiseConv): partitioner-safe kernel gradient for multi-axis
+        # meshes, at ~5% train-step cost and no jvp-differentiability
         out = grouped_conv_safe(x, kernel, (1, 1), tuple(map(tuple, pad)))
+    else:
+        out = lax.conv_general_dilated(
+            x, kernel, window_strides=(1, 1), padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c,
+        )
     if bias is not None:
         out = out + bias
     return out

@@ -106,26 +106,31 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     return jax.device_put(batch, sh)
 
 
-# batch keys KNOWN to be laid out [B, H, W, C]; any OTHER 4-D key is also
-# row-sharded (ADVICE r3: a new image-like key silently falling back to
-# batch-only sharding would be a quiet perf regression) — zone-indexed 4-D
-# tensors would have to opt OUT here, and none exist today.
-_SPATIAL_KEYS = ("image", "image_u8", "depth")
-
-
 def shard_batch_spatial(batch: dict, mesh: Mesh) -> dict:
-    """Place a host batch on a 2-D ``('data', 'spatial')`` mesh: [B,H,W,C]
-    arrays sharded (batch, rows), everything else batch-sharded and
-    replicated over 'spatial'. Inputs for ``make_eval_step`` under spatial
-    partitioning — the jitted step needs no changes; GSPMD propagates the
-    input sharding through the convs (halo exchanges) and regroups the
-    fusion/attention tokens with collectives."""
+    """Place a host batch on a 2-D ``('data', 'spatial')`` mesh: EVERY 4-D
+    ``[B, H, W, C]`` array is sharded (batch, rows), everything else is
+    batch-sharded and replicated over 'spatial'. All-4-D rather than a key
+    allowlist (ADVICE r3): a new image-like key silently falling back to
+    batch-only sharding would be a quiet perf regression, and no 4-D batch
+    key with a non-spatial dim-1 exists. Inputs for ``make_eval_step``
+    under spatial partitioning — the jitted step needs no changes; GSPMD
+    propagates the input sharding through the convs (halo exchanges) and
+    regroups the fusion/attention tokens with collectives."""
     if "spatial" not in mesh.axis_names:
         return shard_batch(batch, mesh)
     if jax.process_count() > 1:
         raise NotImplementedError(
             "spatial partitioning is single-controller; use shard_batch "
             "for multi-host DP")
+    sp = mesh.shape["spatial"]
+    for k, v in batch.items():
+        if np.ndim(v) == 4 and v.shape[1] % sp != 0:
+            # this jax rejects uneven device_put shardings with a raw
+            # internals error; fail with the CLI vocabulary instead
+            raise ValueError(
+                f"batch[{k!r}] has {v.shape[1]} rows — not divisible by "
+                f"the {sp}-way 'spatial' mesh axis; pick --spatial_shards "
+                f"from the divisors of the image height")
     return {
         k: jax.device_put(
             v,

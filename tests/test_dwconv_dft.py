@@ -154,3 +154,37 @@ def test_dispatch_f64_keeps_f64_matrices():
         ref = _direct(x, kern)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-10, atol=1e-10)
+
+
+def test_grouped_branch_safe_vjp_opt_in():
+    """The C > densify_threshold branch follows the --safe_dw_vjp contract
+    (same as the backbone's DepthwiseConv): default is the native grouped
+    conv — jvp-differentiable, native VJP — and ``safe_vjp=True`` swaps in
+    ``grouped_conv_safe``'s partitioner-safe kernel gradient. Forward and
+    gradients must agree across the two; the default must support jax.jvp
+    (custom_vjp functions do not)."""
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 10, 12, 4), jnp.float32)
+    kern = jnp.asarray(rng.randn(5, 5, 1, 4) * 0.2, jnp.float32)
+
+    # densify_threshold=0 forces the grouped branch at any channel count
+    conv = lambda safe: (lambda x, k: depthwise_conv2d(
+        x, k, densify_threshold=0, fft_threshold=99, safe_vjp=safe))
+    ref = np.asarray(_direct(x, kern))
+    np.testing.assert_allclose(np.asarray(conv(False)(x, kern)), ref,
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(conv(False)(x, kern)),
+                                  np.asarray(conv(True)(x, kern)))
+
+    loss = lambda safe: (lambda x, k: jnp.sum(jnp.sin(conv(safe)(x, k))))
+    gx0, gk0 = jax.grad(loss(False), (0, 1))(x, kern)
+    gx1, gk1 = jax.grad(loss(True), (0, 1))(x, kern)
+    np.testing.assert_allclose(np.asarray(gk1), np.asarray(gk0),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx0),
+                               rtol=1e-4, atol=1e-6)
+
+    # forward-mode must keep working on the default path
+    _, tangent = jax.jvp(loss(False), (x, kern),
+                         (jnp.ones_like(x), jnp.zeros_like(kern)))
+    assert np.isfinite(float(tangent))

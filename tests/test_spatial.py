@@ -59,8 +59,50 @@ def test_spatial_sharded_eval_matches_single_device(tiny_config, dp, sp):
 
     got, _ = step(params, stats, sharded)
     # tolerance is f32-reassociation noise amplified through ~20 layers of
-    # the net (measured clean to 1e-12 under f64 on both mesh shapes)
+    # the net; the f64 companion test below pins the same comparison to
+    # one f32 ulp of the output, so a partitioner wrong-answer (O(1))
+    # cannot hide inside this budget
     np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=1.5e-3)
+
+
+@pytest.mark.slow
+def test_spatial_sharded_eval_matches_single_device_f64(tiny_config):
+    """The tight version of the equality pin above, in float64 on the
+    partitioner-bug mesh shape (2, 2). This is the measurement that
+    justifies the f32 test's loosened tolerance: a real partitioner wrong-
+    answer is O(1) (see test_sharded_small_map_conv_dispatch), while in
+    f64 the sharded/unsharded disagreement collapses to ONE f32 rounding
+    of the output — the depth-reconstruction tail is f32-pinned by design
+    (models/deltar.py) even under x64, so predictions quantize at the f32
+    ulp of the depth range (measured max |delta| 3.0e-8 at depth ~2 m;
+    everything upstream of the pin cancels to f64 exactness)."""
+    cfg, variables, batch, step = _eval_setup(tiny_config)
+    to64 = lambda t: jax.tree_util.tree_map(
+        lambda a: np.asarray(a, np.float64)
+        if np.issubdtype(np.asarray(a).dtype, np.floating) else np.asarray(a),
+        t)
+    params, stats = to64(variables["params"]), to64(variables.get("batch_stats"))
+    batch = to64(batch)
+
+    with jax.enable_x64(True):
+        ref, _ = step(params, stats, jax.device_put(batch))
+        ref = np.asarray(ref)
+        mesh = make_mesh_2d(2, 2)
+        got, _ = step(params, stats, shard_batch_spatial(batch, mesh))
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=0, atol=1e-6)
+
+
+def test_shard_batch_spatial_rejects_indivisible_rows(tiny_config):
+    """--spatial_shards values that do not divide the image rows must fail
+    with a clear error naming the flag, not this jax version's raw
+    device_put internals error."""
+    cfg, variables, batch, step = _eval_setup(tiny_config)
+    img_key = "image_u8" if "image_u8" in batch else "image"
+    rows = batch[img_key].shape[1]
+    mesh = make_mesh_2d(1, 3)  # 3 divides neither 64 nor any tiny height
+    assert rows % 3 != 0
+    with pytest.raises(ValueError, match="spatial_shards"):
+        shard_batch_spatial(batch, mesh)
 
 
 def test_sharded_small_map_conv_dispatch(tiny_config):

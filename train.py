@@ -41,6 +41,10 @@ if __name__ == "__main__":
         from cfpnet_tpu.ops.dispatch import set_use_pallas
 
         set_use_pallas(True)
+    if getattr(config, "safe_dw_vjp", False):
+        from cfpnet_tpu.ops.dispatch import set_safe_dw_vjp
+
+        set_safe_dw_vjp(True)
     if config.selfsup:
         from cfpnet_tpu.train.selfsup import run_selfsup_training
 
