@@ -18,8 +18,8 @@ Timeout-proofing (VERDICT r3 item 2: r3's bench died rc=124 with NOTHING
 printed because every optional extra ran before the headline): the bf16
 headline (bs=1 + bs=8) is measured FIRST; everything else — f32 keys, MFU
 cost analysis, the production train-step timing — is budget-gated against
-``BENCH_BUDGET_S`` wall-clock (default 600 s) using observed stage costs,
-and any stage that doesn't fit (or raises) is listed under ``"skipped"``
+``BENCH_BUDGET_S`` wall-clock (default 600 s) with per-stage cost
+estimates, and any stage that doesn't fit (or raises) is listed under ``"skipped"``
 instead of killing the run. The single JSON line always prints; exit code
 is always 0 once the headline exists.
 
