@@ -149,10 +149,11 @@ def _grouped_conv_bwd(strides, pads, res, dy):
     kh, kw = kernel.shape[0], kernel.shape[1]
     sh, sw = strides
 
-    # dL/dx: the conv VJP's input-gradient path alone (kernel held
-    # constant, RAW conv — not the custom_vjp wrapper, which would recurse
-    # into this function at trace time) — a transposed grouped conv, which
-    # partitions correctly.
+    # dL/dx: the conv is linear in x with the kernel held constant, so
+    # linear_transpose gives the transposed GROUPED conv (which partitions
+    # correctly) without tracing a discarded primal conv into the backward
+    # graph (jax.vjp would, leaving its removal to XLA DCE). RAW conv — not
+    # the custom_vjp wrapper, which would recurse at trace time.
     def _raw(xx):
         return lax.conv_general_dilated(
             xx, kernel, window_strides=strides, padding=pads,
@@ -160,8 +161,7 @@ def _grouped_conv_bwd(strides, pads, res, dy):
             feature_group_count=xx.shape[-1],
         )
 
-    _, pullback = jax.vjp(_raw, x)
-    (dx,) = pullback(dy)
+    (dx,) = jax.linear_transpose(_raw, x)(dy)
 
     # dL/dW[ky,kx,0,c] = sum_{b,h,w} xpad[b, h*sh+ky, w*sw+kx, c]*dy[b,h,w,c]
     xp = jnp.pad(x, ((0, 0), pads[0], pads[1], (0, 0)))

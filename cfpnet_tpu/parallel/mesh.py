@@ -123,10 +123,15 @@ def shard_batch_spatial(batch: dict, mesh: Mesh) -> dict:
             "spatial partitioning is single-controller; use shard_batch "
             "for multi-host DP")
     sp = mesh.shape["spatial"]
+    dp = mesh.shape["data"]
     for k, v in batch.items():
+        # this jax rejects uneven device_put shardings with a raw
+        # internals error; fail with the CLI vocabulary instead
+        if np.ndim(v) >= 1 and np.shape(v)[0] % dp != 0:
+            raise ValueError(
+                f"batch[{k!r}] has batch dim {np.shape(v)[0]} — not "
+                f"divisible by the {dp}-way 'data' mesh axis")
         if np.ndim(v) == 4 and v.shape[1] % sp != 0:
-            # this jax rejects uneven device_put shardings with a raw
-            # internals error; fail with the CLI vocabulary instead
             raise ValueError(
                 f"batch[{k!r}] has {v.shape[1]} rows — not divisible by "
                 f"the {sp}-way 'spatial' mesh axis; pick --spatial_shards "

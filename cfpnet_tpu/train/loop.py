@@ -88,7 +88,8 @@ def evaluate(
     # (tests/test_spatial.py pins equality vs single-device).
     mesh2 = None
     if getattr(config, "spatial_shards", 0) > 1:
-        from ..parallel.mesh import make_mesh_2d, replicated_sharding
+        from ..parallel.mesh import (make_mesh_2d, replicated_sharding,
+                                     shard_batch_spatial)
 
         sp = config.spatial_shards
         dp = max(1, jax.device_count() // sp)
@@ -121,8 +122,6 @@ def evaluate(
                 for k, v in batch.items()
             }
         if mesh2 is not None:
-            from ..parallel.mesh import shard_batch_spatial
-
             batch = shard_batch_spatial(batch, mesh2)
         pred, _prob = eval_step(params, batch_stats, batch)
         m, n = metric_step(batch["depth"], pred)

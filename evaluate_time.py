@@ -114,16 +114,24 @@ def timed_forward(config, tiny: bool = False, niters: int = 500, params=None,
         reps = max(4, niters // K)
 
         def chain(p, bs, im, hh, mm):
-            def body(i, acc):
-                pred = fwd_once(p, bs, acc, hh, mm)
+            def body(i, carry):
+                im_c, hh_c = carry
+                pred = fwd_once(p, bs, im_c, hh_c, mm)
                 # loop-carried dependence; epsilon keeps values unchanged.
                 # MEAN of the prediction, not a single element: consuming
                 # one pixel would let XLA narrow the depth head to that
-                # pixel inside the loop and understate the latency.
-                return im + (jnp.mean(pred) * 1e-30).astype(im.dtype)
+                # pixel inside the loop and understate the latency. BOTH
+                # compute-feeding tensors (image AND hist) are carried: a
+                # loop-invariant hist would let XLA hoist the pure
+                # histogram-encoder branch out of the loop (CLAUDE.md
+                # timing protocol; the mask only gates hist tokens, so its
+                # consumers all depend on hh already).
+                eps = jnp.mean(pred) * 1e-30
+                return (im_c + eps.astype(im_c.dtype),
+                        hh_c + eps.astype(hh_c.dtype))
 
-            last = jax.lax.fori_loop(0, K, body, im)
-            pred = fwd_once(p, bs, last, hh, mm)
+            im_l, hh_l = jax.lax.fori_loop(0, K, body, (im, hh))
+            pred = fwd_once(p, bs, im_l, hh_l, mm)
             # reduce to a scalar: forcing it to the host (float()) is the
             # only fence this tunnel cannot acknowledge early
             return pred, jnp.sum(pred)

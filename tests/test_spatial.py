@@ -149,6 +149,43 @@ def test_sharded_small_map_conv_dispatch(tiny_config):
         np.testing.assert_allclose(got_sh, got, rtol=0, atol=1e-12)
 
 
+def test_dense_conv_boundary_regime_on_2d_mesh(tiny_config):
+    """The dispatch guard reroutes ONLY kernel-covers-map (min(k) >=
+    min(H, W)) dense convs to the DFT path. This pins the regime it
+    deliberately leaves on the dense channel-diagonal branch: kernels that
+    cover the PER-SHARD rows but not the map (k >= H/sp, k < min(H, W)) —
+    the halo spans whole shards, yet a direct probe sweep (r4: dp in
+    {1,2,4}, sp in {2,4,8}, rows/shard down to 2, k in {3..11}, f64,
+    cache-cold) found NO miscompile anywhere in it on jax 0.9.0. If an
+    upstream change widens the bug into this regime, this test goes red
+    and the guard in ``ops/dwconv.py`` must learn the shard count."""
+    from jax import lax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from cfpnet_tpu.ops.dwconv import depthwise_conv2d
+
+    with jax.enable_x64(True):
+        rng = np.random.RandomState(1)
+        for dp, sp, H, W, k in [(2, 2, 8, 12, 7), (2, 4, 8, 12, 7)]:
+            x = jax.numpy.asarray(rng.randn(dp * 2, H, W, 8))
+            kern = jax.numpy.asarray(rng.randn(k, k, 1, 8) * 0.1)
+            assert k < min(H, W) and k >= H // sp  # the boundary regime
+            p = (k - 1) // 2
+
+            def direct(x):
+                return lax.conv_general_dilated(
+                    x, kern, (1, 1), [(p, p), (p, p)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    feature_group_count=x.shape[-1])
+
+            ref = np.asarray(jax.jit(direct)(x))
+            mesh = Mesh(np.array(jax.devices()[: dp * sp]).reshape(dp, sp),
+                        ("data", "spatial"))
+            xs = jax.device_put(x, NamedSharding(mesh, P("data", "spatial")))
+            got = np.asarray(jax.jit(lambda x: depthwise_conv2d(x, kern))(xs))
+            np.testing.assert_allclose(got, ref, rtol=0, atol=1e-12)
+
+
 def test_mesh_2d_rejects_oversubscription(tiny_config):
     import pytest
 
