@@ -123,7 +123,7 @@ def grouped_conv_safe(x: jnp.ndarray, kernel: jnp.ndarray,
 
     This wrapper keeps the FORWARD as the native grouped conv (bit-identical
     HLO — goldens and the torch-parity suite unaffected) and overrides the
-    VJP: dL/dx re-derives through ``jax.vjp`` of the forward with the kernel
+    VJP: dL/dx is ``jax.linear_transpose`` of the forward with the kernel
     held constant (lowers to the transposed GROUPED conv, which is clean),
     and dL/dW is written out as kh*kw strided-window einsums (elementwise
     multiply + reduce — partitioner-safe everywhere, and exactly the
