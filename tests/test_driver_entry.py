@@ -48,7 +48,9 @@ def test_bench_smoke_subprocess():
     payloads = [json.loads(l) for l in lines if l.lstrip().startswith("{")]
     assert len(payloads) == 1, r.stdout
     out = payloads[0]
-    assert out["metric"] == "frames_per_sec_per_chip_480x640_bs1"
+    # distinct metric name in smoke mode (ADVICE r4): a consumer keying on
+    # the production metric name must never ingest a tiny-CPU number
+    assert out["metric"] == "frames_per_sec_smoke_tiny_cpu"
     assert out["unit"] == "frames/s"
     assert out["value"] > 0 and out["vs_baseline"] > 0
     assert out["smoke"] is True
