@@ -26,9 +26,11 @@ import jax.numpy as jnp
 
 from ..data.geometry import ScaleGeometry
 from ..ops.interp import resize_bilinear_align_corners
+from .convnext import Block14
 from .transformer import (
     Combine1,
     LoFTREncoderLayer,
+    LoFTRNewCross9,
     TwinsTransformer,
     twins_window_size,
 )
@@ -144,13 +146,48 @@ class TransformerFusion(nn.Module):
                 new = block if self.no_skip_inside else region + block
                 f2d = f2d.at[:, geom.zy0 : geom.zy1, geom.zx0 : geom.zx1, :].set(new)
                 feat0 = f2d.reshape(B, H * W, C)
-            elif name == "combine1":
-                feat0 = Combine1(
-                    self.embedding_dim,
-                    self.num_heads,
-                    self.large_kernel,
-                    name=f"layers_{i}",
+            elif "new_cross" in name:
+                # reference forward dispatch :160-161 — a bare cross-zone
+                # propagation layer. NOTE: the reference's own constructor
+                # (:31-38) raises NotImplementedError for this name, so no
+                # reference numeric exists to match; semantics follow the
+                # forward loop with the module it plainly calls for
+                # (NewCross9, reference transformer.py:169-248).
+                feat0 = LoFTRNewCross9(
+                    self.embedding_dim, self.num_heads, name=f"layers_{i}"
                 )(feat0, rect, H, W, train)
+            elif "combine" in name:
+                # 'combine1' (the shipped configs) or iterated 'combine_N'
+                # (reference :163-169 — N distinct Combine1 sublayers applied
+                # in sequence; also unconstructible in the reference, :38).
+                if "_" in name:
+                    for j in range(int(name.split("_")[-1])):
+                        feat0 = Combine1(
+                            self.embedding_dim,
+                            self.num_heads,
+                            self.large_kernel,
+                            name=f"layers_{i}_{j}",
+                        )(feat0, rect, H, W, train)
+                else:
+                    feat0 = Combine1(
+                        self.embedding_dim,
+                        self.num_heads,
+                        self.large_kernel,
+                        name=f"layers_{i}",
+                    )(feat0, rect, H, W, train)
+            elif "cvxt" in name:
+                # reference :170-180: large-kernel ConvNeXt Block14 on the
+                # 2-D map, optionally iterated 'cvxt_N' with distinct
+                # sublayers (unconstructible in the reference, :38).
+                reps = int(name.split("_")[-1]) if "_" in name else 1
+                f2d = feat0.reshape(B, H, W, C)
+                for j in range(reps):
+                    f2d = Block14(
+                        self.embedding_dim,
+                        self.large_kernel,
+                        name=f"layers_{i}" if reps == 1 else f"layers_{i}_{j}",
+                    )(f2d, train)
+                feat0 = f2d.reshape(B, H * W, C)
             else:
                 raise NotImplementedError(f"attention layer '{name}'")
 
