@@ -170,11 +170,14 @@ class ZJUL5Dataset:
 
     Each h5 also carries ``fr`` — the real sensor's measured zone-to-pixel
     rects, from which the reference derives its fusion geometry
-    (reference zjuL5.py:106,135). The rects are static per capture rig, so
-    they are read once, converted to per-scale ``ScaleGeometry``
-    (``scales_from_rects``), exposed as ``self.scale_geoms`` for the eval
-    driver, and every subsequent file is asserted to agree (the jitted graph
-    bakes the geometry in as compile-time constants).
+    (reference zjuL5.py:106,135). The reference recomputes ``patch_info``
+    per capture; here geometry is a compile-time constant of the jitted
+    graph, so init reads every capture's rects once and GROUPS the indices
+    by rect signature (``geometry_groups``). A single-rig dataset (every
+    shipped data.json) exposes its geometry as ``scale_geoms``; a mixed-rig
+    dataset makes ``scale_geoms`` raise — single-geometry consumers must
+    sweep per group (``train/loop.make_grouped_eval`` does, one compiled
+    graph per rig, metrics merged image-weighted).
     """
 
     def __init__(self, config, mode: str = "online_eval"):
@@ -184,14 +187,41 @@ class ZJUL5Dataset:
             self.sample_list = json.load(f)["test"]
         self.data_root = config.data_path_eval
         self.focal = float(ZJU_K[0])
-        self._fr = None
-        self.scale_geoms = None
-        if self.sample_list:
-            fr = self._subset_fr(self._read_fr(0))
-            self._fr = fr
-            self.scale_geoms = scales_from_rects(
-                fr, config.native_height, config.native_width
+        # group captures by measured-rect signature (reference zjuL5.py:135
+        # derives patch_info per capture; one jitted graph per group here)
+        self.geometry_groups = []  # [(scale_geoms, indices, fr)]
+        self._group_of = []  # idx -> group number
+        by_sig = {}
+        for i in range(len(self.sample_list)):
+            fr = self._subset_fr(self._read_fr(i))
+            key = fr.tobytes()
+            if key not in by_sig:
+                by_sig[key] = len(self.geometry_groups)
+                self.geometry_groups.append((
+                    scales_from_rects(fr, config.native_height,
+                                      config.native_width),
+                    [], fr,
+                ))
+            g = by_sig[key]
+            self.geometry_groups[g][1].append(i)
+            self._group_of.append(g)
+
+    @property
+    def scale_geoms(self):
+        """THE dataset geometry — only meaningful for a single-rig dataset.
+        Raises (loudly, never a silent wrong grid) when captures carry more
+        than one rect signature."""
+        if not self.geometry_groups:
+            return None
+        if len(self.geometry_groups) > 1:
+            raise ValueError(
+                f"mixed-rig ZJUL5 dataset: {len(self.geometry_groups)} "
+                "distinct zone-rect signatures — a single static geometry "
+                "does not exist; evaluate per geometry group "
+                "(evaluate_all.py handles this automatically via "
+                "dataset.geometry_groups)"
             )
+        return self.geometry_groups[0][0]
 
     def _read_fr(self, idx) -> np.ndarray:
         import h5py
@@ -230,11 +260,12 @@ class ZJUL5Dataset:
             fr = np.asarray(f["fr"][:], dtype=np.float32)
             mask = np.asarray(f["mask"][:]).astype(bool)
         fh, fr, mask = tof_sim.apply_zone_subset(fh, fr, mask, cfg.zone_type)
-        if self._fr is not None and not np.array_equal(fr, self._fr):
+        expect = self.geometry_groups[self._group_of[idx]][2]
+        if not np.array_equal(fr, expect):
             raise ValueError(
-                f"{fname}: zone rects differ from the dataset's first capture; "
-                "per-file geometry is not supported by the static-geometry "
-                "fusion path (split such captures into separate eval runs)"
+                f"{fname}: zone rects changed since dataset init; the jitted "
+                "eval graph bakes geometry in as compile-time constants — "
+                "rebuild the dataset object"
             )
         pts = tof_sim.sample_points(fh, mask, cfg.zone_sample_num, cfg.sample_uniform)
         return dict(

@@ -95,6 +95,17 @@ def evaluate(
         dp = max(1, jax.device_count() // sp)
         while dp > 1 and eval_bs % dp != 0:
             dp -= 1
+        idle = jax.device_count() - dp * sp
+        if idle > 0:
+            # e.g. --eval_bs 3 --spatial_shards 2 on 8 devices -> 3x2 mesh,
+            # 2 chips idle. Loud, not silent (ADVICE r4): the fix is an
+            # eval_bs divisible by device_count // spatial_shards.
+            print(
+                f"spatial eval mesh: dp={dp} x sp={sp} uses {dp * sp} of "
+                f"{jax.device_count()} devices ({idle} idle) — pick "
+                f"--eval_bs divisible by {jax.device_count() // sp} to use "
+                f"the full mesh"
+            )
         mesh2 = make_mesh_2d(dp, sp, batch_size=eval_bs)
         repl = replicated_sharding(mesh2)
         params = jax.device_put(params, repl)
@@ -164,7 +175,12 @@ class _Subset:
     def __init__(self, dataset, indices):
         self.dataset = dataset
         self.indices = list(indices)
-        self.scale_geoms = getattr(dataset, "scale_geoms", None)
+        try:
+            self.scale_geoms = getattr(dataset, "scale_geoms", None)
+        except ValueError:
+            # mixed-rig dataset (scale_geoms raises by design) — the caller
+            # (make_grouped_eval) sets the per-group geometry explicitly
+            self.scale_geoms = None
 
     def __len__(self):
         return len(self.indices)
@@ -179,6 +195,59 @@ class _Subset:
         return "eval", f"{self.indices[i]:05d}"
 
 
+def make_grouped_eval(model, config, dataset, protocol: str = "validate"):
+    """Geometry-grouped evaluation over a (possibly mixed-rig) dataset.
+
+    The reference recomputes ZJUL5 zone geometry per capture
+    (/root/reference/src/dataloader/zjuL5.py:106-135) and so sweeps a
+    mixed-rig data.json in one run; here geometry is a compile-time
+    constant of the jitted graph, so the equivalent is ONE compiled step
+    pair per rect-signature group (``dataset.geometry_groups``) with the
+    per-image metric stream merged through a shared RunningAverageDict —
+    image-weighted averaging identical to a flat single-geometry sweep.
+
+    Returns ``eval_fn(params, batch_stats, per_image_hook=None) -> metrics``
+    reusable across an epoch sweep (loaders + jitted steps built once).
+    Single-geometry datasets (or ones with no ``geometry_groups``) fall
+    back to the plain ``evaluate`` path unchanged."""
+    groups = getattr(dataset, "geometry_groups", None)
+    if not groups or len(groups) <= 1:
+        loader = make_loader(config, "online_eval", dataset=dataset)
+        steps = make_eval_steps(model, config, loader, protocol)
+
+        def eval_fn(params, batch_stats, per_image_hook=None):
+            return evaluate(model, config, params, batch_stats, loader,
+                            protocol=protocol, steps=steps,
+                            per_image_hook=per_image_hook)
+
+        return eval_fn
+
+    plans = []
+    for geoms, indices, _fr in groups:
+        sub = _Subset(dataset, indices)
+        sub.scale_geoms = geoms
+        loader = make_loader(config, "online_eval", dataset=sub)
+        plans.append((sub, loader,
+                      make_eval_steps(model, config, loader, protocol)))
+
+    def eval_fn(params, batch_stats, per_image_hook=None):
+        acc = RunningAverageDict()
+        for sub, loader, steps in plans:
+            hook = None
+            if per_image_hook is not None:
+                # evaluate() numbers samples subset-locally; dumps must be
+                # keyed by the GLOBAL dataset index (same translation as
+                # evaluate_sharded)
+                hook = (lambda s: lambda i, pred_hw, batch, j:
+                        per_image_hook(s.indices[i], pred_hw, batch, j))(sub)
+            evaluate(model, config, params, batch_stats, loader,
+                     protocol=protocol, steps=steps, per_image_hook=hook,
+                     _accumulator=acc)
+        return acc.get_value() or {}
+
+    return eval_fn
+
+
 def evaluate_sharded(
     model, config, params, batch_stats, dataset, protocol: str = "validate",
     steps=None, per_image_hook=None, barrier_fn=None,
@@ -191,6 +260,14 @@ def evaluate_sharded(
     ``process_allgather`` at the end. Every process returns the identical
     global metrics; numerics match the single-process sweep because the
     per-image metric stream is unchanged, only its partitioning differs."""
+    groups = getattr(dataset, "geometry_groups", None)
+    if groups is not None and len(groups) > 1:
+        # a process-strided subset would mix geometries inside one jitted
+        # step; grouped eval is single-process for now (mixed-rig datasets
+        # are small real-sensor sweeps — the reference's are <1k captures)
+        raise NotImplementedError(
+            "mixed-rig dataset under multi-host eval sharding is not "
+            "supported; run the sweep single-process (make_grouped_eval)")
     nproc = jax.process_count()
     pid = jax.process_index()
     if nproc == 1:

@@ -174,7 +174,10 @@ def main():
         config = config.replace(dataset_eval="nyu")
 
     model = make_model(config)
-    loader = make_loader(config, "online_eval")
+    from cfpnet_tpu.data.datasets import make_dataset
+
+    dataset = make_dataset(config, "online_eval")
+    loader = make_loader(config, "online_eval", dataset=dataset)
 
     if config.serving_artifact:
         # metric sweep through the exported StableHLO module (weights baked
@@ -190,8 +193,14 @@ def main():
         write_reports(config, [["artifact"] + [results[m] for m in METRICS]])
         return
 
-    # one traced/jitted step pair for the whole epoch sweep
-    steps = make_eval_steps(model, config, loader, protocol="evaluate_all")
+    # one traced/jitted step pair per geometry group, reused for the whole
+    # epoch sweep (a mixed-rig ZJUL5 data.json — several rect signatures —
+    # sweeps in ONE invocation: one compiled graph per rig, metrics merged
+    # image-weighted; reference zjuL5.py:106-135 recomputes per capture)
+    from cfpnet_tpu.train.loop import make_grouped_eval
+
+    eval_fn = make_grouped_eval(model, config, dataset, protocol="evaluate_all")
+    sharded_steps = None
 
     rows = []
     weights_dir = os.path.join("weights", config.name)
@@ -210,16 +219,18 @@ def main():
         if config.shard_eval and jax.process_count() > 1:
             from cfpnet_tpu.train.loop import evaluate_sharded
 
+            if sharded_steps is None:
+                sharded_steps = make_eval_steps(model, config, loader,
+                                                protocol="evaluate_all")
             results = evaluate_sharded(
                 model, config, payload["params"], payload.get("batch_stats"),
-                loader.dataset, protocol="evaluate_all", steps=steps,
-                per_image_hook=make_save_hook(config, loader.dataset),
+                dataset, protocol="evaluate_all", steps=sharded_steps,
+                per_image_hook=make_save_hook(config, dataset),
             )
         else:
-            results = evaluate(
-                model, config, payload["params"], payload.get("batch_stats"),
-                loader, protocol="evaluate_all", steps=steps,
-                per_image_hook=make_save_hook(config, loader.dataset),
+            results = eval_fn(
+                payload["params"], payload.get("batch_stats"),
+                per_image_hook=make_save_hook(config, dataset),
             )
         results = {k: round(v, 3) for k, v in results.items()}
         print(f"Metrics: {results}")

@@ -140,7 +140,10 @@ def test_dataset_exposes_measured_geometry(zju_tree, tiny_config):
     assert ds4.scale_geoms[16].sy_wo == int((16 + 24 + 2 * 56) / 16)
 
 
-def test_dataset_rejects_mismatched_rects(zju_tree, tiny_config):
+def test_mixed_rig_dataset_groups_by_rect_signature(zju_tree, tiny_config):
+    """Captures from two rigs in one data.json form two geometry groups
+    (reference zjuL5.py:106-135 derives patch_info per capture; the static-
+    geometry equivalent is one group per rect signature — VERDICT r4 #3)."""
     import h5py
 
     from cfpnet_tpu.data.datasets import ZJUL5Dataset
@@ -154,8 +157,32 @@ def test_dataset_rejects_mismatched_rects(zju_tree, tiny_config):
         zone_type="8x8", native_height=480, native_width=640,
     )
     ds = ZJUL5Dataset(cfg)
+    assert [g[1] for g in ds.geometry_groups] == [[0], [1]]
+    assert ds.geometry_groups[0][0] == scales_from_rects(fr, 480, 640)
+    assert ds.geometry_groups[1][0] == scales_from_rects(
+        centered_rects(), 480, 640)
+    ds[0], ds[1]  # both captures load under their own group
+    # single-geometry consumers must fail LOUDLY, never pick a grid silently
+    with pytest.raises(ValueError, match="mixed-rig"):
+        ds.scale_geoms
+
+
+def test_dataset_rejects_rects_changed_after_init(zju_tree, tiny_config):
+    import h5py
+
+    from cfpnet_tpu.data.datasets import ZJUL5Dataset
+
+    d, fr = zju_tree
+    cfg = tiny_config.replace(
+        data_path_eval=str(d), filenames_file_eval=str(d / "data.json"),
+        zone_type="8x8", native_height=480, native_width=640,
+    )
+    ds = ZJUL5Dataset(cfg)  # single rig at init time
+    with h5py.File(d / "cap1.h5", "r+") as f:
+        del f["fr"]
+        f["fr"] = centered_rects()
     ds[0]
-    with pytest.raises(ValueError, match="zone rects differ"):
+    with pytest.raises(ValueError, match="changed since dataset init"):
         ds[1]
 
 
@@ -182,3 +209,88 @@ def test_evaluate_uses_dataset_geometry(zju_tree, tiny_config, monkeypatch):
     loop_mod.evaluate(None, cfg, {}, None, DataLoader(ds, batch_size=1),
                       max_batches=1)
     assert seen["geoms"] == scales_from_rects(fr, 480, 640)
+
+
+# ---------------------------------------------------------------------------
+# Mixed-rig grouped evaluation end to end (VERDICT r4 item 7): a data.json
+# mixing two rigs sweeps in ONE invocation through make_grouped_eval — one
+# compiled graph per rect signature, per-zone placement from each rig's own
+# geometry, metrics merged image-weighted.
+# ---------------------------------------------------------------------------
+
+
+def tiny_rects(off_y=0, off_x=0):
+    return ZoneGeometry(64, 96, 2, 16, 16,
+                        offset_y=off_y, offset_x=off_x).zone_rects()
+
+
+@pytest.fixture
+def tiny_zju_mixed(tmp_path):
+    """Three captures at the tiny 64x96 native geometry, rigs 2 + 1 —
+    unequal group sizes so image-weighted merging is actually exercised."""
+    import h5py
+
+    rng = np.random.default_rng(3)
+    d = tmp_path / "zju_mixed"
+    d.mkdir()
+    rigs = [tiny_rects(), tiny_rects(off_y=6, off_x=-4)]
+    names = []
+    for i, rig in enumerate([0, 0, 1]):
+        with h5py.File(d / f"cap{i}.h5", "w") as f:
+            f["rgb"] = (rng.random((64, 96, 3)) * 255).astype(np.uint8)
+            f["depth"] = rng.uniform(0.3, 3.5, (64, 96)).astype(np.float32)
+            f["hist_data"] = np.stack(
+                [rng.uniform(0.5, 3.0, 4), rng.uniform(0.05, 0.3, 4)], axis=1
+            ).astype(np.float32)
+            f["fr"] = rigs[rig]
+            f["mask"] = np.ones(4, bool)
+        names.append({"filename": f"cap{i}.h5"})
+    (d / "data.json").write_text(json.dumps({"test": names}))
+    # per-rig split files for the reference merge
+    (d / "data_g0.json").write_text(json.dumps({"test": names[:2]}))
+    (d / "data_g1.json").write_text(json.dumps({"test": names[2:]}))
+    return d
+
+
+@pytest.mark.slow
+def test_mixed_rig_grouped_eval_matches_split_runs(tiny_zju_mixed, tiny_config):
+    import jax
+
+    from cfpnet_tpu.data.datasets import ZJUL5Dataset
+    from cfpnet_tpu.models.deltar import make_model, model_geometries
+    from cfpnet_tpu.train.loop import make_grouped_eval
+
+    d = tiny_zju_mixed
+    cfg = tiny_config.replace(
+        data_path_eval=str(d), filenames_file_eval=str(d / "data.json"),
+        zone_type="2x2", dataset_eval="zjuL5",
+    )
+    ds = ZJUL5Dataset(cfg)
+    assert [g[1] for g in ds.geometry_groups] == [[0, 1], [2]]
+
+    model = make_model(cfg, tiny=True)
+    img = np.zeros((1, 64, 96, 3), np.float32)
+    hist = np.zeros((1, 4, cfg.zone_sample_num), np.float32)
+    mask = np.ones((1, 4), bool)
+    variables = jax.jit(
+        lambda r: model.init({"params": r, "fusion": r}, img, hist, mask,
+                             model_geometries(cfg, "online_eval"), train=False)
+    )(jax.random.key(0))
+    params, stats = variables["params"], variables.get("batch_stats")
+
+    merged = make_grouped_eval(model, cfg, ds, protocol="evaluate_all")(
+        params, stats)
+
+    # reference result: two single-rig runs, merged image-weighted
+    per_group = []
+    for split, n in (("data_g0.json", 2), ("data_g1.json", 1)):
+        sub = ZJUL5Dataset(cfg.replace(filenames_file_eval=str(d / split)))
+        assert len(sub.geometry_groups) == 1
+        m = make_grouped_eval(model, cfg, sub, protocol="evaluate_all")(
+            params, stats)
+        per_group.append((m, n))
+    total = sum(n for _, n in per_group)
+    for k in merged:
+        want = sum(m[k] * n for m, n in per_group) / total
+        np.testing.assert_allclose(merged[k], want, rtol=1e-6,
+                                   err_msg=f"metric {k}")
