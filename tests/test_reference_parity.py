@@ -207,15 +207,9 @@ def test_full_model_parity_eval_480x640():
         rtol=1e-5, atol=1e-8)
 
 
-@pytest.mark.slow
-def test_full_model_parity_train_416x544(monkeypatch):
-    cfg = production_config()
-    model = make_model(cfg)
-    params, stats, geoms = fabricate_variables(model, cfg, "train")
-    rgb, hist, mask = make_inputs(cfg, "train")
-
-    # pin the positional-encoding random crop to offset 0 on BOTH sides
-    # (reference fusion.py:88-91 torch.randint / ours jax.random.randint)
+def _pin_crop_rng(monkeypatch):
+    """Pin the positional-encoding random crop to offset 0 on BOTH sides
+    (reference fusion.py:88-91 torch.randint / ours jax.random.randint)."""
     monkeypatch.setattr(
         torch, "randint",
         lambda low, high, size, **kw: torch.zeros(size, dtype=torch.long),
@@ -226,6 +220,13 @@ def test_full_model_parity_train_416x544(monkeypatch):
     )
 
 
+@pytest.mark.slow
+def test_full_model_parity_train_416x544(monkeypatch):
+    cfg = production_config()
+    model = make_model(cfg)
+    params, stats, geoms = fabricate_variables(model, cfg, "train")
+    rgb, hist, mask = make_inputs(cfg, "train")
+    _pin_crop_rng(monkeypatch)
 
     params, stats = to64(params), to64(stats)
     rgb64, hist64 = rgb.astype(np.float64), hist.astype(np.float64)
@@ -250,3 +251,103 @@ def test_full_model_parity_train_416x544(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(j_pred)[..., 0], r_pred.numpy()[:, 0],
         rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_full_model_gradient_parity_train_416x544(monkeypatch):
+    """Training-side numeric parity: dL/dparams through the FULL graph.
+
+    The forward tests above prove the forward against code we did not write;
+    this proves the backward — the half round 4 showed this stack can
+    silently corrupt (two XLA partitioner miscompiles found in gradients
+    while every forward stayed bit-correct). Protocol is the reference's
+    training step exactly (/root/reference/train.py:119-135): train-mode
+    forward, clip pred at min_depth, masked SILog with align-corners
+    upsample (/root/reference/src/loss.py:4-19), then torch autograd vs
+    ``jax.grad``, compared leaf-by-leaf in float64 through the importer's
+    name/layout mapping (layout maps are permutations/transposes — linear
+    orthogonal — so gradients transform exactly as weights do).
+    """
+    import importlib
+
+    cfg = production_config()
+    model = make_model(cfg)
+    params, stats, geoms = fabricate_variables(model, cfg, "train")
+    rgb, hist, mask = make_inputs(cfg, "train")
+    _pin_crop_rng(monkeypatch)
+
+    params, stats = to64(params), to64(stats)
+    rgb64, hist64 = rgb.astype(np.float64), hist.astype(np.float64)
+    h, w = cfg.image_size_for("train")
+    depth = RNG.uniform(0.3, 9.5, (1, h, w, 1))
+    depth[RNG.random(depth.shape) < 0.15] = 0.0  # invalid px: mask=depth>min
+
+    # --- torch: reference model + reference SILogLoss, autograd
+    ref_model = build_reference(cfg, params, stats, double=True).train()
+    _, r_pred = ref_model(reference_inputs(cfg, "train", rgb64, hist64, mask))
+    t_depth = torch.from_numpy(depth.transpose(0, 3, 1, 2))
+    criterion = importlib.import_module("src.loss").SILogLoss()
+    r_loss = criterion(torch.clip(r_pred, min=cfg.min_depth), t_depth,
+                       mask=(t_depth > cfg.min_depth), interpolate=True)
+    r_loss.backward()
+    t_grads = {n: p.grad.detach().numpy()
+               for n, p in ref_model.named_parameters() if p.grad is not None}
+
+    # --- jax: same loss assembly (train/steps.py:85-88), jax.grad
+    from cfpnet_tpu.train.losses import silog_loss
+
+    with enable_x64():
+        d64 = jnp.asarray(depth)
+
+        def loss_fn(p):
+            (_, pred), _updates = model.apply(
+                {"params": p, "batch_stats": stats},
+                jnp.asarray(rgb64), jnp.asarray(hist64), jnp.asarray(mask),
+                geoms, train=True, rngs={"fusion": jax.random.key(1)},
+                mutable=["batch_stats"],
+            )
+            pred = jnp.clip(pred, cfg.min_depth, None)
+            return silog_loss(pred, d64, d64 > cfg.min_depth, interpolate=True)
+
+        j_loss, j_grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+        j_grads = jax.tree_util.tree_map(np.asarray, j_grads)
+
+    np.testing.assert_allclose(float(j_loss), float(r_loss.detach()), rtol=1e-9)
+
+    # our grad tree -> torch naming/layout via the importer's inverse map;
+    # batch_stats column entries (running_mean/var) are not gradients — drop
+    zero_stats = jax.tree_util.tree_map(
+        lambda a: np.zeros_like(np.asarray(a)), stats)
+    exported = {
+        k: v for k, v in export_reference_style(j_grads, zero_stats, cfg).items()
+        if not (k.endswith("running_mean") or k.endswith("running_var"))
+    }
+
+    # bidirectional coverage: every live torch grad has an exported
+    # counterpart and vice versa (dead modules have grad None already)
+    assert set(t_grads) == set(exported), (
+        sorted(set(t_grads) ^ set(exported))[:8])
+
+    # atol floor is relative to the GLOBAL gradient scale: leaves whose
+    # mathematical gradient is exactly zero (e.g. a bias feeding only
+    # train-mode BatchNorms — BN is shift-invariant, so bn3.bias grads in
+    # residual blocks vanish) carry pure f64 roundoff (~1e-19) on BOTH
+    # sides, where a per-leaf rtol is meaningless. A miscompile-class error
+    # (O(grad), rel 0.1+ — what round 4 caught twice) sits ~9 orders above
+    # this floor.
+    gscale = max(np.abs(tv).max() for tv in t_grads.values())
+    worst_rel, worst_key = 0.0, None
+    for k, tv in t_grads.items():
+        jv = exported[k]
+        assert jv.shape == tv.shape, k
+        np.testing.assert_allclose(
+            jv, tv, rtol=1e-6, atol=1e-9 * gscale,
+            err_msg=f"grad mismatch at {k}")
+        scale = np.abs(tv).max()
+        if scale > 1e-6 * gscale:
+            rel = np.abs(jv - tv).max() / scale
+            if rel > worst_rel:
+                worst_rel, worst_key = rel, k
+    # informational: worst relative-to-leaf-max error across live leaves
+    print(f"grad parity: {len(t_grads)} leaves, gscale {gscale:.3e}, "
+          f"worst rel {worst_rel:.2e} at {worst_key}")
