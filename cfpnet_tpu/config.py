@@ -114,15 +114,19 @@ class Config:
     dp_shards: int = 0
     # partitioner-safe depthwise kernel gradients. REQUIRED when training
     # over any multi-axis mesh: XLA 0.9.0's SPMD partitioner silently
-    # miscompiles the native grouped-conv dL/dW there (loss stays correct —
-    # PARITY.md round-4 notes). Off by default: the production 1-D DP mesh
-    # is unaffected and the safe formulation costs ~5% per train step.
+    # miscompiles the native grouped-conv dL/dW there — live composed, not
+    # just op-level: scripts/sp_trainstep_diag.py stage L reproduces exact
+    # conv_dw kernel-grad errors in the full train step for P('data')
+    # batches on a 2-D mesh, placement-independent (loss stays correct —
+    # PARITY.md round-4/5 notes). Off by default: the production 1-D DP
+    # mesh is unaffected and the safe formulation costs ~5% per train step.
     safe_dw_vjp: bool = False
-    # eval-side spatial partitioning (beyond parity): shard image ROWS over
-    # an sp-way 'spatial' mesh axis (2-D ('data','spatial') mesh,
+    # spatial partitioning (beyond parity): shard image ROWS over an sp-way
+    # 'spatial' mesh axis (2-D ('data','spatial') mesh,
     # parallel/mesh.make_mesh_2d) so a single image's latency scales across
-    # chips. 0/1 = off. Used by evaluate_all/evaluate (ADVICE r3: the 2-D
-    # mesh needs a CLI entry point, not just a library surface).
+    # chips. 0/1 = off. Eval: evaluate_all/evaluate (ADVICE r3). Train:
+    # run_training shards train batches the same way — requires
+    # --safe_dw_vjp (see above; train/loop.py validates).
     spatial_shards: int = 0
     # multi-host (SURVEY §2.7): initialize jax.distributed before building
     # the mesh. Coordinator/process identity may be given explicitly or

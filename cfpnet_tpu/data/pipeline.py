@@ -15,7 +15,7 @@ from typing import Dict, Iterator, Optional
 import jax
 import numpy as np
 
-from ..parallel.mesh import shard_batch
+from ..parallel.mesh import shard_batch, shard_batch_spatial
 
 
 def collate(samples) -> Dict[str, np.ndarray]:
@@ -92,7 +92,13 @@ class DataLoader:
                         chunk = chunk[pid * per : (pid + 1) * per]
                     batch = collate([self.dataset[int(i)] for i in chunk])
                     if self.mesh is not None and full:
-                        batch = shard_batch(batch, self.mesh)
+                        if "spatial" in self.mesh.axis_names:
+                            # 2-D ('data','spatial') train mesh: image rows
+                            # sharded over 'spatial' (single-controller
+                            # only — shard_batch_spatial rejects multihost)
+                            batch = shard_batch_spatial(batch, self.mesh)
+                        else:
+                            batch = shard_batch(batch, self.mesh)
                     elif self.mesh is None:
                         batch = jax.device_put(batch)
                     q.put(batch)

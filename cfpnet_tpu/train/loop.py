@@ -328,7 +328,52 @@ def evaluate_sharded(
 
 def run_training(config, tiny: bool = False, max_steps_per_epoch: Optional[int] = None):
     """End-to-end training (reference train.py main_worker + train)."""
-    mesh = make_mesh(config.dp_shards, batch_size=config.bs)
+    if getattr(config, "spatial_shards", 0) > 1:
+        # Train-side spatial partitioning: image rows over an sp-way
+        # 'spatial' axis, batch over 'data' (beyond parity — the reference
+        # has no SP, SURVEY §2.6). Two guards (round-5 audit,
+        # scripts/sp_trainstep_diag.py): (1) --safe_dw_vjp — XLA 0.9.0's
+        # grouped-conv dL/dW miscompile is live on 2-D meshes (stage L:
+        # exact conv_dw kernel-grad errors for P('data') batches,
+        # placement-independent; the dp2sp2 spatial graph happens to audit
+        # clean without it, but that is one graph shape, not a guarantee);
+        # (2) the train state must be PLACED on the mesh before stepping
+        # (below) — feeding device-0-committed params alongside a
+        # P('data','spatial') batch makes jax silently compute O(1)-wrong
+        # gradients instead of raising (the placement hazard; canaried in
+        # tests/test_spatial.py). With both guards the full f64 train
+        # step is bit-level clean (~1e-13) vs single-device;
+        # tests/test_spatial.py::test_train_step_grads_on_2d_mesh_spatial
+        # pins it.
+        from ..parallel.mesh import make_mesh_2d
+
+        if not getattr(config, "safe_dw_vjp", False):
+            raise ValueError(
+                "--spatial_shards for TRAINING requires --safe_dw_vjp: "
+                "XLA 0.9.0 silently miscompiles grouped-conv parameter "
+                "gradients on multi-axis meshes (see ops/dwconv.py; "
+                "spatial training is equality-verified only with the "
+                "safe VJPs on)")
+        if getattr(config, "device_pipeline", False):
+            raise NotImplementedError(
+                "--device_pipeline with train-side --spatial_shards is "
+                "not verified (the on-device ToF sim has not been audited "
+                "under spatial sharding); drop one of the two flags")
+        sp = config.spatial_shards
+        dp = config.dp_shards or max(1, jax.device_count() // sp)
+        while dp > 1 and config.bs % dp != 0:
+            dp -= 1
+        idle = jax.device_count() - dp * sp
+        if idle > 0:
+            print(
+                f"spatial train mesh: dp={dp} x sp={sp} uses {dp * sp} of "
+                f"{jax.device_count()} devices ({idle} idle) — pick --bs "
+                f"divisible by {jax.device_count() // sp} to use the full "
+                f"mesh"
+            )
+        mesh = make_mesh_2d(dp, sp, batch_size=config.bs)
+    else:
+        mesh = make_mesh(config.dp_shards, batch_size=config.bs)
     model = make_model(config, tiny=tiny)
     geoms_t = model_geometries(config, "train")
 
@@ -358,6 +403,21 @@ def run_training(config, tiny: bool = False, max_steps_per_epoch: Optional[int] 
                   sample_uniform=config.sample_uniform),
         )
     state = create_train_state(model, config, rng, first_batch, geoms_t, tx)
+    if jax.process_count() == 1:
+        # Deterministic state placement: params/opt-state replicated over
+        # the WHOLE mesh. The jitted init above already lands there via
+        # the sharded first_batch, but make it explicit — jax 0.9.0
+        # silently computes wrong gradients (instead of raising) when
+        # single-device-committed params meet a P('data','spatial')
+        # batch in one jit call (the round-5 placement hazard — see
+        # scripts/sp_trainstep_diag.py and the strict-xfail canary
+        # tests/test_spatial.py::test_upstream_mixed_placement_canary).
+        # Multihost resume already re-places explicitly below.
+        from ..parallel.mesh import replicated_sharding
+
+        step_val = int(state.step)
+        state = jax.device_put(state, replicated_sharding(mesh))
+        state = state.replace(step=step_val)
 
     start_epoch, best_rmse = 0, float("inf")
     if config.resume:

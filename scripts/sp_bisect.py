@@ -2,11 +2,34 @@
 
 Round-4 finding (PARITY.md round-4 deep dive): with P('data','spatial')
 train batches on a ('data','spatial') mesh, the full-graph backward
-computes wrong gradients (rel ~0.1-0.2 in hist-encoder/fusion leaves)
-while the loss stays correct — and every individual op audits clean in
-isolation. This script reproduces that and then strips the graph down to
-the smallest composition that still fails, so the boundary can rest on a
-checked-in minimal repro instead of "the composition miscompiles".
+computes wrong gradients while the loss stays correct — and every
+individual op audits clean in isolation.
+
+Round-5 conclusions (this script + scripts/sp_trainstep_diag.py, all f64):
+- Much of the r4 "rel ~0.1-0.2 in hist-encoder leaves" signal was a
+  METRIC artifact: biases feeding train-mode normalizers have exactly-zero
+  mathematical gradients, and a per-leaf rel there compares roundoff
+  against roundoff. grad_check floors leaf scale at 1e-6x the global
+  gradient max (and prints the raw metric beside it).
+- EVERYTHING ELSE was a PLACEMENT artifact. This script's early runs —
+  like the r4 audit and the first half of round 5 — passed params
+  committed to device 0 (the jitted init's output placement) together
+  with the mesh-sharded batch. jax 0.9.0 silently mis-partitions that
+  mix instead of raising: grad-only graphs showed an apparent
+  dL/d(gsa.sr.*) = exactly-1/dp "miscompile" (which sharding pins
+  seemed to fix), and the full train step showed O(1)-wrong backbone
+  updates (which nothing fixed). With params PLACED on the mesh
+  (replicated — the production placement; grad_check now does this by
+  default, pass placement="device0" to reproduce the artifact) the raw
+  full graph and the full f64 train step are clean to ~1e-13 with NO
+  model changes, pins, or GSA custom VJPs (sp_trainstep_diag stages
+  H/I/J/K). run_training device_puts the state accordingly;
+  tests/test_spatial.py::test_upstream_mixed_placement_canary keeps a
+  strict-xfail repro of the hazard.
+- The r4 grouped-conv dL/dW miscompile is REAL and composes: for
+  P('data') batches on a 2-D mesh the full train step returns exact
+  conv_dw kernel-grad errors regardless of placement (sp_trainstep_diag
+  stages L/L2) — --safe_dw_vjp remains required on multi-axis meshes.
 
 Run: python scripts/sp_bisect.py [stage ...]
 """
@@ -55,9 +78,25 @@ def tiny_config(**kw):
     return Config(**base)
 
 
-def grad_check(name, loss_fn, params, args, batch_tree, mesh, spec):
+def grad_check(name, loss_fn, params, args, batch_tree, mesh, spec,
+               placement="mesh"):
     """Compare jax.grad(loss_fn)(params, *args, **batch) single-device vs
-    with batch_tree sharded P(spec) on mesh. Returns worst rel error."""
+    with batch_tree sharded P(spec) on mesh. Returns worst rel error.
+
+    Leaf scale is floored at 1e-6x the GLOBAL gradient max: leaves whose
+    mathematical gradient is exactly zero (any bias feeding a train-mode
+    normalizer — BN/LN mean-subtraction cancels the shift) carry pure
+    roundoff on BOTH sides, and a per-leaf rel there compares noise
+    against noise (O(1) 'failures' in f32, ~1e-5 in f64). The round-4
+    audit's per-leaf rel metric had exactly this artifact.
+
+    placement="mesh" (default) device_puts params REPLICATED on the mesh
+    for the sharded call — the production placement. placement="device0"
+    leaves them committed to device 0 (the jitted init's output), which
+    jax 0.9.0 silently mis-partitions next to a P('data','spatial') batch
+    (the round-5 placement hazard — expect spurious 'miscompiles')."""
+    from cfpnet_tpu.parallel.mesh import replicated_sharding
+
     g = jax.jit(jax.grad(loss_fn))
     ref = jax.device_get(g(params, *args, batch_tree))
     if callable(spec):
@@ -69,32 +108,52 @@ def grad_check(name, loss_fn, params, args, batch_tree, mesh, spec):
             lambda a: jax.device_put(
                 a, NamedSharding(mesh, P(*spec[: a.ndim]))),
             batch_tree)
-    got = jax.device_get(g(params, *args, sharded))
+    params_m = params
+    if placement == "mesh":
+        params_m = jax.device_put(params, replicated_sharding(mesh))
+    got = jax.device_get(g(params_m, *args, sharded))
+    gscale = max(np.abs(np.asarray(b, np.float64)).max()
+                 for b in jax.tree_util.tree_leaves(ref))
     worst, wkey = 0.0, None
+    worst_raw, wkey_raw = 0.0, None
     for (pa, a), (_, b) in zip(
             jax.tree_util.tree_leaves_with_path(got),
             jax.tree_util.tree_leaves_with_path(ref)):
         a64, b64 = np.asarray(a, np.float64), np.asarray(b, np.float64)
-        scale = max(np.abs(b64).max(), 1e-12)
-        rel = np.abs(a64 - b64).max() / scale
+        leaf_scale = np.abs(b64).max()
+        diff = np.abs(a64 - b64).max()
+        rel = diff / max(leaf_scale, 1e-6 * gscale, 1e-300)
         if rel > worst:
             worst, wkey = rel, jax.tree_util.keystr(pa)
+        raw = diff / max(leaf_scale, 1e-300)
+        if raw > worst_raw:
+            worst_raw, wkey_raw = raw, jax.tree_util.keystr(pa)
     status = "FAIL" if worst > 1e-3 else "ok  "
-    print(f"[{status}] {name}: worst rel {worst:.3e} at {wkey}", flush=True)
+    print(f"[{status}] {name}: worst rel {worst:.3e} at {wkey} "
+          f"(gscale {gscale:.2e}; per-leaf raw {worst_raw:.2e} at "
+          f"{wkey_raw})", flush=True)
     return worst
 
 
-def full_train_loss(cfg, loss_point="pred"):
+def full_train_loss(cfg, loss_point="pred", x64=False):
     """Build (loss_fn(params, batch), params, batch) for the tiny model."""
     model = make_model(cfg, tiny=True)
     geoms = model_geometries(cfg, "train")
     ds = SyntheticDataset(cfg, "train", length=cfg.bs)
     batch = collate([ds[i] for i in range(cfg.bs)])
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    if x64:
+        batch = {k: v.astype(jnp.float64)
+                 if jnp.issubdtype(v.dtype, jnp.floating) else v
+                 for k, v in batch.items()}
     rng = jax.random.key(0)
     variables = model.init(
         {"params": rng, "fusion": rng}, batch["image"], batch["hist_data"],
         batch["mask"], geoms, train=True)
+    if x64:
+        variables = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float64)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, variables)
     params, stats = variables["params"], variables["batch_stats"]
 
     def loss_fn(p, b):
@@ -385,28 +444,110 @@ def blocks_check(name, mesh, kinds=("cn", "er", "er", "ir", "ir", "ir"),
             jax.config.update("jax_enable_x64", False)
 
 
-def run_variant(name, mesh, cfg, loss_point="pred"):
-    loss_fn, params, batch = full_train_loss(cfg, loss_point=loss_point)
-    return grad_check(name, loss_fn, params, (), batch, mesh, "batch_spatial")
+def bnmin_check(name, mesh, depth=1, B=4, H=6, W=8, C=8, stride=2,
+                handbn=True, x64=True, flaxconv=False):
+    """Smallest-candidate repro: [conv3x3 -> train-mode batch-norm]*depth
+    -> mean^2 loss, grad wrt params; input P('data','spatial'). BN is
+    HAND-ROLLED jnp (mean/var over (0,1,2)) when handbn, else flax — to
+    pin whether the miscompile needs flax.BatchNorm or is pure-jnp."""
+    import flax.linen as nn
+
+    if x64:
+        jax.config.update("jax_enable_x64", True)
+    dtype = jnp.float64 if x64 else jnp.float32
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.standard_normal((B, H, W, C)), dtype)
+
+    def conv_apply(p, x, i):
+        if flaxconv:
+            raise NotImplementedError
+        k, b = p[f"k{i}"], p[f"b{i}"]
+        return jax.lax.conv_general_dilated(
+            x, k, (stride, stride), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+
+    def bn_apply(p, x, i):
+        if handbn:
+            mu = jnp.mean(x, axis=(0, 1, 2), keepdims=True)
+            var = jnp.mean((x - mu) ** 2, axis=(0, 1, 2), keepdims=True)
+            xhat = (x - mu) * jax.lax.rsqrt(var + 1e-5)
+            return xhat * p[f"g{i}"] + p[f"beta{i}"]
+        raise NotImplementedError
+
+    params = {}
+    prng = np.random.default_rng(9)
+    cin = C
+    for i in range(depth):
+        params[f"k{i}"] = jnp.asarray(
+            prng.standard_normal((3, 3, cin, C)) * 0.2, dtype)
+        params[f"b{i}"] = jnp.asarray(prng.standard_normal((C,)) * 0.1, dtype)
+        params[f"g{i}"] = jnp.asarray(1.0 + 0.1 * prng.standard_normal((C,)),
+                                      dtype)
+        params[f"beta{i}"] = jnp.asarray(0.1 * prng.standard_normal((C,)),
+                                         dtype)
+        cin = C
+
+    def loss_fn(p, b):
+        x = b["img"]
+        for i in range(depth):
+            x = conv_apply(p, x, i)
+            x = bn_apply(p, x, i)
+            x = nn.leaky_relu(x)
+        return jnp.mean(x ** 2)
+
+    try:
+        return grad_check(name, loss_fn, params, (), {"img": img}, mesh,
+                          "batch_spatial")
+    finally:
+        if x64:
+            jax.config.update("jax_enable_x64", False)
+
+
+def run_variant(name, mesh, cfg, loss_point="pred", x64=False):
+    if x64:
+        jax.config.update("jax_enable_x64", True)
+    try:
+        loss_fn, params, batch = full_train_loss(
+            cfg, loss_point=loss_point, x64=x64)
+        return grad_check(name, loss_fn, params, (), batch, mesh,
+                          "batch_spatial")
+    finally:
+        if x64:
+            jax.config.update("jax_enable_x64", False)
 
 
 def main(stages):
     mesh = make_mesh_2d(dp=4, sp=2)
     variants = {
-        "full": (tiny_config(), "pred"),
-        "pred_sq": (tiny_config(), "pred_sq"),
-        "att_combine1": (tiny_config(attention_layer=["combine1"]), "pred_sq"),
-        "att_image": (tiny_config(attention_layer=["image"]), "pred_sq"),
-        "att_hist": (tiny_config(attention_layer=["hist2image"]), "pred_sq"),
-        "att_cvxt": (tiny_config(attention_layer=["cvxt"]), "pred_sq"),
-        "att_newcross": (tiny_config(attention_layer=["new_cross"]), "pred_sq"),
-        "train_false": (tiny_config(), "eval_sq"),
+        "full": (tiny_config(), "pred", False),
+        "pred_sq": (tiny_config(), "pred_sq", False),
+        "att_combine1": (tiny_config(attention_layer=["combine1"]),
+                         "pred_sq", False),
+        "att_image": (tiny_config(attention_layer=["image"]),
+                      "pred_sq", False),
+        "att_hist": (tiny_config(attention_layer=["hist2image"]),
+                     "pred_sq", False),
+        "att_cvxt": (tiny_config(attention_layer=["cvxt"]), "pred_sq", False),
+        "att_newcross": (tiny_config(attention_layer=["new_cross"]),
+                         "pred_sq", False),
+        "train_false": (tiny_config(), "eval_sq", False),
+        # f64 reruns of every previously-'failing' stage (per-leaf rel at
+        # zero-grad bias leaves was the round-4 artifact)
+        "full64": (tiny_config(), "pred", True),
+        "pred_sq64": (tiny_config(), "pred_sq", True),
+        "att_combine164": (tiny_config(attention_layer=["combine1"]),
+                           "pred_sq", True),
+        "att_image64": (tiny_config(attention_layer=["image"]),
+                        "pred_sq", True),
+        "att_hist64": (tiny_config(attention_layer=["hist2image"]),
+                       "pred_sq", True),
+        "train_false64": (tiny_config(), "eval_sq", True),
     }
-    for name, (cfg, lp) in variants.items():
+    for name, (cfg, lp, x64) in variants.items():
         if stages and name not in stages:
             continue
         try:
-            run_variant(name, mesh, cfg, loss_point=lp)
+            run_variant(name, mesh, cfg, loss_point=lp, x64=x64)
         except Exception as e:
             print(f"[err ] {name}: {type(e).__name__}: {str(e)[:200]}",
                   flush=True)
@@ -430,6 +571,18 @@ def main(stages):
         "mini_lsa_noconv": dict(sub=("lga",), conv_in=False),
         "mini_loftr": dict(kind="loftr"),
         "mini_loftr_noconv": dict(kind="loftr", conv_in=False),
+        # HISTORY: with device-0-committed params (placement="device0"),
+        # full-graph f64 runs showed gsa.sr.{kernel,bias} grads at exactly
+        # 1/dp of truth for dp>=2 while these standalone minis stayed
+        # clean (1e-15) at matched shapes — that asymmetry was the first
+        # hint the "miscompile" was really the mixed-placement hazard
+        # (see module docstring). With the default mesh placement the
+        # full graph is clean too; kept as probes.
+        "mini_gsa_h2": dict(sub=("gsa",), H=2, W=4, x64=True),
+        "mini_gsa_h2_noconv": dict(sub=("gsa",), conv_in=False, H=2, W=4,
+                                   x64=True),
+        "mini_gsa_h4": dict(sub=("gsa",), H=4, W=4, x64=True),
+        "mini_twins_h2": dict(kind="twins", H=2, W=4, x64=True),
     }
     for name, kw in minis.items():
         if stages and name not in stages:
@@ -454,6 +607,12 @@ def main(stages):
         "conv_se3": dict(depth=3, se=True),          # 6x8 map: even rows/sp=2
         "conv_se4_up": dict(depth=4, up=True, se=True),
         "conv_se0": dict(depth=0, se=True, H=6, W=8),
+        # depth/upsample/evenness sweep for the train-BN discrepancy
+        "conv_bn_noup": dict(depth=4, bn=True),
+        "conv_bn_d1": dict(depth=1, bn=True),
+        "conv_bn_d2": dict(depth=2, bn=True),
+        "conv_bn_d3": dict(depth=3, bn=True),
+        "conv_bn_even": dict(depth=4, bn=True, H=96),  # final 6 rows: even/sp=2
     }
     for name, kw in convs.items():
         if stages and name not in stages:
@@ -481,6 +640,23 @@ def main(stages):
             print(f"[err ] {name}: {type(e).__name__}: {str(e)[:200]}",
                   flush=True)
 
+    bnmins = {
+        "bnmin_d1": dict(depth=1),
+        "bnmin_d2": dict(depth=2),
+        "bnmin_d3": dict(depth=3),
+        "bnmin_d4_h48": dict(depth=4, H=48, W=64),
+        "bnmin_d1_s1": dict(depth=1, stride=1),
+        "bnmin_d2_f32": dict(depth=2, x64=False),
+    }
+    for name, kw in bnmins.items():
+        if stages and name not in stages:
+            continue
+        try:
+            bnmin_check(name, mesh, **kw)
+        except Exception as e:
+            print(f"[err ] {name}: {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
+
     subs = {
         "backbone_safe": dict(which="backbone", safe=True),
         "backbone_raw": dict(which="backbone", safe=False),
@@ -488,6 +664,7 @@ def main(stages):
         "backbone_safe64": dict(which="backbone", safe=True, x64=True),
         "decoder_only64": dict(which="decoder", x64=True),
         "backbone_last": dict(which="backbone", loss_feats=(4,)),
+        "backbone_last64": dict(which="backbone", loss_feats=(4,), x64=True),
         "backbone_f0": dict(which="backbone", loss_feats=(0,)),
         "backbone_f01": dict(which="backbone", loss_feats=(0, 1)),
     }

@@ -295,9 +295,9 @@ def test_train_step_grads_on_2d_mesh_dp_only(tiny_config):
     stayed correct). lr=1 SGD so the param delta IS the mean gradient.
 
     Train-side SPATIAL sharding (P('data','spatial') batches into the
-    train step) remains unsupported: the full-graph backward still
-    miscompiles elsewhere under XLA 0.9.0's partitioner (isolated ops all
-    verify clean; the composition does not — PARITY.md round-4 notes)."""
+    train step) is covered by test_train_step_grads_on_2d_mesh_spatial
+    below (supported as of r5 — requires the state to be PLACED on the
+    mesh, see the mixed-placement canary)."""
     import optax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -336,6 +336,115 @@ def test_train_step_grads_on_2d_mesh_dp_only(tiny_config):
             np.asarray(a, np.float64), np.asarray(b, np.float64),
             rtol=0, atol=max(1e-6, 2e-3 * gscale),
             err_msg=f"param {jax.tree_util.keystr(pa)}")
+
+
+def _spatial_train_setup(tiny_config):
+    """Shared rig for the spatial train-step equality test and the
+    mixed-placement canary: tiny model, bs=4 synthetic train batch,
+    lr=1 SGD (param delta == mean gradient), one jitted raw step."""
+    import optax
+
+    from cfpnet_tpu.data.pipeline import collate
+    from cfpnet_tpu.models.deltar import model_geometries
+    from cfpnet_tpu.train.steps import create_train_state, make_train_step
+
+    cfg = tiny_config.replace(bs=4, safe_dw_vjp=True)
+    model = make_model(cfg, tiny=True)
+    geoms = model_geometries(cfg, "train")
+    ds = SyntheticDataset(cfg, "train", length=4)
+    batch = collate([ds[i] for i in range(4)])
+    rng = jax.random.key(0)
+    state = create_train_state(
+        model, cfg, rng, jax.device_put(batch), geoms, optax.sgd(1.0))
+    step = jax.jit(make_train_step(model, cfg, geoms, jit=False))
+    srng = jax.random.fold_in(rng, 1)
+    return state, step, batch, srng
+
+
+def _assert_step_equal(state, step, batch, srng, got_state, got_loss,
+                       ref_state, ref_loss):
+    np.testing.assert_allclose(float(got_loss), float(ref_loss), rtol=1e-5)
+    deltas_ref = jax.tree_util.tree_map(
+        lambda o, n: np.asarray(o, np.float64) - np.asarray(n, np.float64),
+        state.params, ref_state.params)
+    gscale = max(float(np.max(np.abs(np.asarray(g))))
+                 for g in jax.tree_util.tree_leaves(deltas_ref))
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(got_state.params),
+            jax.tree_util.tree_leaves_with_path(ref_state.params)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float64), np.asarray(b, np.float64),
+            rtol=0, atol=max(1e-6, 2e-3 * gscale),
+            err_msg=f"param {jax.tree_util.keystr(pa)}")
+
+
+@pytest.mark.slow
+def test_train_step_grads_on_2d_mesh_spatial(tiny_config):
+    """Full train-step param updates with the batch sharded
+    P('data','spatial') (rows over the 'spatial' axis) must match
+    single-device — train-side spatial sharding, which round 4 declared
+    unsupported. The round-5 audit (scripts/sp_trainstep_diag.py)
+    DISSOLVED the r4 "composed backward miscompiles" boundary: every
+    spatial-train gradient discrepancy — including the apparent
+    dL/d(gsa.sr.*) = 1/dp bug the first half of round 5 chased — traced
+    to feeding single-device-committed params alongside the mesh-sharded
+    batch in one jit call, which jax 0.9.0 silently mis-partitions
+    instead of raising (see test_upstream_mixed_placement_canary below).
+    With the state PLACED on the mesh (replicated — exactly the
+    device_put run_training performs) the full f64 train step matches
+    single-device to ~1e-13 with NO model changes (diag stages H/I/K).
+    f32 noise in this comparison measured 7.5e-5 x gscale (stage H32);
+    a real partitioner wrong-answer is O(gscale), so the 2e-3*gscale
+    budget separates them by ~25x. safe_dw_vjp=True is the supported
+    spatial-train configuration: the grouped-conv dL/dW miscompile is
+    LIVE on 2-D meshes for P('data') operands (diag stage L reproduces
+    it composed, placement-independent) even though the dp2sp2
+    spatial-batch graph happens to audit clean without it (stage J)."""
+    from cfpnet_tpu.parallel.mesh import replicated_sharding
+
+    state, step, batch, srng = _spatial_train_setup(tiny_config)
+    ref_state, ref_loss = step(state, jax.device_put(batch), srng)
+
+    mesh = _mesh22()
+    sharded = shard_batch_spatial(batch, mesh)
+    img_key = "image_u8" if "image_u8" in sharded else "image"
+    assert tuple(sharded[img_key].sharding.spec) == ("data", "spatial")
+    # production placement: state replicated over the mesh (run_training
+    # performs this device_put explicitly before the first step)
+    state_m = jax.device_put(state, replicated_sharding(mesh))
+    got_state, got_loss = step(state_m, sharded, srng)
+    _assert_step_equal(state, step, batch, srng, got_state, got_loss,
+                       ref_state, ref_loss)
+
+
+@pytest.mark.slow
+@pytest.mark.xfail(
+    strict=True,
+    reason="UPSTREAM CANARY: jax 0.9.0 silently computes WRONG gradients "
+           "(instead of raising or resharding correctly) when single-"
+           "device-committed params and a P('data','spatial') batch meet "
+           "in one jit call — backbone param updates come back O(1) wrong "
+           "(up to ~5x the max gradient) while the loss stays correct "
+           "(round-5 audit, scripts/sp_trainstep_diag.py stages C/G vs "
+           "H/I). run_training guards by device_put-ing the state "
+           "replicated on the mesh before stepping. When this XPASSes, "
+           "upstream fixed mixed-placement handling and the explicit "
+           "placement becomes an optimization rather than a correctness "
+           "guard.")
+def test_upstream_mixed_placement_canary(tiny_config):
+    """Identical to test_train_step_grads_on_2d_mesh_spatial EXCEPT the
+    state stays committed to device 0 (where the jitted init put it)
+    instead of being placed on the mesh — the hazard run_training's
+    explicit placement exists to rule out. Loss (forward) agrees; the
+    param updates do not."""
+    state, step, batch, srng = _spatial_train_setup(tiny_config)
+    ref_state, ref_loss = step(state, jax.device_put(batch), srng)
+
+    mesh = _mesh22()
+    sharded = shard_batch_spatial(batch, mesh)
+    got_state, got_loss = step(state, sharded, srng)
+    _assert_step_equal(state, step, batch, srng, got_state, got_loss,
+                       ref_state, ref_loss)
 
 
 @pytest.mark.xfail(
