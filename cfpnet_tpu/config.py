@@ -67,6 +67,9 @@ class Config:
     noise_sigma: float = 0.0
     noise_prob: float = 0.0
     train_zone_num: int = 8
+    # zone-grid shift augmentation, cycled per BATCH (the reference draws
+    # per sample; static-geometry keystone — see data/geometry.py::
+    # zone_offset_for). One compiled train step per distinct offset.
     train_zone_random_offset: int = 0
     sample_uniform: bool = False
     simu_max_distance: float = 4.0

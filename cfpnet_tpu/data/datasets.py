@@ -136,9 +136,11 @@ class NYUV2Dataset:
             img = np.asarray(image, dtype=np.float32) / 255.0
             dep = np.asarray(depth_gt, dtype=np.float32) / 1000.0
 
+        zo = int(getattr(self, "zone_offset", 0)) if self.mode == "train" else 0
         sample = finalize_sample(
             img, dep, self.focal, cfg, self.mode, self.rng,
             simulate_hist=True, exact_u8=True,  # jpg/png source is uint8
+            offset=(zo, zo),  # per-batch zone offset (set by DataLoader)
         )
         if self.mode == "online_eval":
             sample["has_valid_depth"] = np.bool_(has_valid_depth)
@@ -311,7 +313,9 @@ class SyntheticDataset:
         img = np.clip(img, 0, 1).astype(np.float32)
         if cfg.device_pipeline and self.mode == "train":
             return dict(image_raw=img, depth=dep[..., None])
-        return finalize_sample(img, dep, 500.0, cfg, self.mode, rng, simulate_hist=True)
+        zo = int(getattr(self, "zone_offset", 0)) if self.mode == "train" else 0
+        return finalize_sample(img, dep, 500.0, cfg, self.mode, rng,
+                               simulate_hist=True, offset=(zo, zo))
 
 
 def finalize_sample(

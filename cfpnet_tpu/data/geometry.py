@@ -221,6 +221,27 @@ def scales_from_rects(
     return out
 
 
+def zone_offset_for(seed: int, epoch: int, step: int, max_offset: int) -> int:
+    """Deterministic per-batch zone offset in ``[-max_offset, max_offset]``
+    (both ends inclusive, matching the reference's ``random.randint`` —
+    src/utils/dataloader.py:97-99).
+
+    The reference draws a fresh offset per SAMPLE inside its dynamic-shape
+    torch loader; here zone geometry is static per compile (the fusion
+    scatter's keystone invariant), so the offset cycles per BATCH instead:
+    a pure function of (seed, epoch, step) that the data loader (hist
+    extraction, ``DataLoader.producer``) and the train loop (model
+    geometry + step-fn selection, ``run_training``) evaluate independently
+    and agree on with no plumbing between them. Each distinct offset value
+    compiles its own train step (2*max_offset+1 total, amortized by the
+    persistent compile cache)."""
+    if max_offset <= 0:
+        return 0
+    r = np.random.default_rng(
+        (int(seed) * 1000003 + int(epoch)) * 1000003 + int(step))
+    return int(r.integers(-max_offset, max_offset + 1))
+
+
 def geometry_for(config, mode: str, offset: Tuple[int, int] = (0, 0)) -> ZoneGeometry:
     """Build the ZoneGeometry for a Config + mode.
 

@@ -16,6 +16,7 @@ import jax
 import numpy as np
 
 from ..parallel.mesh import shard_batch, shard_batch_spatial
+from .geometry import zone_offset_for
 
 
 def collate(samples) -> Dict[str, np.ndarray]:
@@ -35,6 +36,7 @@ class DataLoader:
         seed: int = 0,
         prefetch: int = 2,
         mesh=None,
+        zone_random_offset: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -53,7 +55,18 @@ class DataLoader:
         self.seed = seed
         self.prefetch = prefetch
         self.mesh = mesh
+        self.zone_random_offset = int(zone_random_offset)
         self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        """Pin the epoch counter (shuffle stream + zone-offset schedule).
+
+        ``run_training`` calls this each epoch so the loader and the train
+        loop agree on ``zone_offset_for(seed, epoch, step)`` — including
+        after ``--resume`` (the implicit end-of-iteration increment starts
+        from 0 in a fresh process) and after an early ``break`` (the
+        increment is skipped when the consumer abandons the iterator)."""
+        self.epoch = int(epoch)
 
     def __len__(self):
         n = len(self.dataset)
@@ -80,6 +93,16 @@ class DataLoader:
                 for b in range(nb):
                     if stop.is_set():
                         return
+                    if self.zone_random_offset > 0:
+                        # per-batch zone offset (reference train_zone_
+                        # random_offset, per-sample there — see
+                        # zone_offset_for): the single producer thread
+                        # sets it before decoding the batch; run_training
+                        # computes the SAME value for its geometry/step-fn
+                        # choice from (seed, epoch, step)
+                        self.dataset.zone_offset = zone_offset_for(
+                            self.seed, self.epoch, b,
+                            self.zone_random_offset)
                     lo = b * self.batch_size
                     chunk = order[lo : lo + self.batch_size]
                     full = len(chunk) == self.batch_size
@@ -133,6 +156,9 @@ def make_loader(config, mode: str, mesh=None, dataset=None) -> DataLoader:
         return DataLoader(
             dataset, config.bs, shuffle=True, drop_last=True, seed=config.seed,
             mesh=mesh,
+            zone_random_offset=(
+                0 if getattr(config, "device_pipeline", False)
+                else getattr(config, "train_zone_random_offset", 0)),
         )
     return DataLoader(dataset, max(1, getattr(config, "eval_bs", 1)),
                       shuffle=False, drop_last=False)

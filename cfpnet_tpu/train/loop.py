@@ -359,6 +359,13 @@ def run_training(config, tiny: bool = False, max_steps_per_epoch: Optional[int] 
                 "--device_pipeline with train-side --spatial_shards is "
                 "not verified (the on-device ToF sim has not been audited "
                 "under spatial sharding); drop one of the two flags")
+        if int(getattr(config, "grad_accum", 1) or 1) > 1:
+            raise NotImplementedError(
+                "--grad_accum with train-side --spatial_shards computes "
+                "WRONG values on this XLA: the microbatch reshape of a "
+                "P('data','spatial') batch corrupts loss AND gradients "
+                "(measured in f64, scripts/sp_trainstep_diag.py stage M); "
+                "drop one of the two flags")
         sp = config.spatial_shards
         dp = config.dp_shards or max(1, jax.device_count() // sp)
         while dp > 1 and config.bs % dp != 0:
@@ -431,6 +438,28 @@ def run_training(config, tiny: bool = False, max_steps_per_epoch: Optional[int] 
         print(f"resumed from {config.resume} at epoch {start_epoch}")
 
     train_step = make_train_step(model, config, geoms_t)
+
+    # --train_zone_random_offset N: zone-grid shift augmentation (reference
+    # src/utils/dataloader.py:97-99, per-sample there). Zone geometry is
+    # static per compile (the fusion scatter's keystone), so the offset
+    # cycles per BATCH: zone_offset_for(seed, epoch, step) — the loader
+    # computes the same value for its hist extraction (pipeline.py
+    # producer) with no plumbing between the two. Each distinct offset
+    # compiles its own train step (2N+1 total, persistent-cache-amortized).
+    zone_off = int(getattr(config, "train_zone_random_offset", 0) or 0)
+    if zone_off > 0 and config.device_pipeline:
+        raise NotImplementedError(
+            "--train_zone_random_offset with --device_pipeline is not "
+            "wired (the on-device ToF sim uses one static geometry); "
+            "drop one of the two flags")
+    _step_fns = {0: train_step}
+
+    def train_step_for(o: int):
+        if o not in _step_fns:
+            _step_fns[o] = make_train_step(
+                model, config, model_geometries(config, "train", (o, o)))
+        return _step_fns[o]
+
     logger = JsonlLogger(
         None if config.no_logging else os.path.join(config.save_dir, "train_log.jsonl")
     )
@@ -462,6 +491,7 @@ def run_training(config, tiny: bool = False, max_steps_per_epoch: Optional[int] 
     step = int(state.step)
     for epoch in range(start_epoch, config.epochs):
         t_epoch = time.time()
+        train_loader.set_epoch(epoch)  # align shuffle + zone-offset streams
         loss_avg = RunningAverage()
         for i, batch in enumerate(train_loader):
             if max_steps_per_epoch and i >= max_steps_per_epoch:
@@ -469,6 +499,11 @@ def run_training(config, tiny: bool = False, max_steps_per_epoch: Optional[int] 
             step_rng = jax.random.fold_in(rng, step)
             if device_prep is not None:
                 batch = device_prep(batch, jax.random.fold_in(step_rng, 777))
+            if zone_off > 0:
+                from ..data.geometry import zone_offset_for
+
+                train_step = train_step_for(
+                    zone_offset_for(config.seed, epoch, i, zone_off))
             state, loss = train_step(state, batch, step_rng)
             loss_avg.append(float(loss))
             step += 1

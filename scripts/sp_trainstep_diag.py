@@ -254,8 +254,11 @@ if __name__ == "__main__":
             spatial="dp_on_2d", replicate_state=False, pins=False,
             safe_vjp=False)
     # M: --grad_accum 2 composed with spatial sharding (scan over
-    #    microbatches inside the step) — the one train-step variant the
-    #    H/I audit didn't cover
+    #    microbatches inside the step). MEASURED: FAILS in f64 even with
+    #    mesh-placed state — the (accum, bs/accum, ...) microbatch reshape
+    #    of a P('data','spatial') batch corrupts BOTH loss (1e-4 rel) and
+    #    param updates (up to 0.75 x gscale). run_training rejects the
+    #    combination; re-run this stage on any jax/XLA bump.
     if "M" in stages:
         run("M f64 dp2sp2 step repl-state accum2", x64=True, spatial=True,
             replicate_state=True, pins=False, grad_accum=2)

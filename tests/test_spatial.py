@@ -338,6 +338,24 @@ def test_train_step_grads_on_2d_mesh_dp_only(tiny_config):
             err_msg=f"param {jax.tree_util.keystr(pa)}")
 
 
+def test_spatial_training_guard_rails(tiny_config):
+    """run_training must refuse the configurations that compute wrong
+    values or are unaudited on this XLA (clear errors, not silent
+    corruption): spatial training without --safe_dw_vjp, with
+    --grad_accum (measured wrong — sp_trainstep_diag stage M), or with
+    --device_pipeline (unaudited)."""
+    from cfpnet_tpu.train.loop import run_training
+
+    base = tiny_config.replace(spatial_shards=2)
+    with pytest.raises(ValueError, match="safe_dw_vjp"):
+        run_training(base, tiny=True)
+    with pytest.raises(NotImplementedError, match="grad_accum"):
+        run_training(base.replace(safe_dw_vjp=True, grad_accum=2), tiny=True)
+    with pytest.raises(NotImplementedError, match="device_pipeline"):
+        run_training(base.replace(safe_dw_vjp=True, device_pipeline=True),
+                     tiny=True)
+
+
 def _spatial_train_setup(tiny_config):
     """Shared rig for the spatial train-step equality test and the
     mixed-placement canary: tiny model, bs=4 synthetic train batch,
