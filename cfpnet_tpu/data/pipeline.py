@@ -15,7 +15,8 @@ from typing import Dict, Iterator, Optional
 import jax
 import numpy as np
 
-from ..parallel.mesh import shard_batch, shard_batch_spatial
+from ..parallel.mesh import (shard_batch, shard_batch_spatial,
+                             shard_batch_spatial_presplit)
 from .geometry import zone_offset_for
 
 
@@ -37,6 +38,7 @@ class DataLoader:
         prefetch: int = 2,
         mesh=None,
         zone_random_offset: int = 0,
+        accum_presplit: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -56,6 +58,7 @@ class DataLoader:
         self.prefetch = prefetch
         self.mesh = mesh
         self.zone_random_offset = int(zone_random_offset)
+        self.accum_presplit = int(accum_presplit)
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -118,8 +121,16 @@ class DataLoader:
                         if "spatial" in self.mesh.axis_names:
                             # 2-D ('data','spatial') train mesh: image rows
                             # sharded over 'spatial' (single-controller
-                            # only — shard_batch_spatial rejects multihost)
-                            batch = shard_batch_spatial(batch, self.mesh)
+                            # only — shard_batch_spatial rejects multihost).
+                            # With --grad_accum the microbatch split happens
+                            # HERE on the host (P(None,'data','spatial')
+                            # leaves) — the in-jit reshape miscompiles
+                            # (sp_trainstep_diag stages M/M2).
+                            if self.accum_presplit > 1:
+                                batch = shard_batch_spatial_presplit(
+                                    batch, self.mesh, self.accum_presplit)
+                            else:
+                                batch = shard_batch_spatial(batch, self.mesh)
                         else:
                             batch = shard_batch(batch, self.mesh)
                     elif self.mesh is None:
@@ -153,12 +164,15 @@ def make_loader(config, mode: str, mesh=None, dataset=None) -> DataLoader:
     if dataset is None:
         dataset = make_dataset(config, mode)
     if mode == "train":
+        spatial = mesh is not None and "spatial" in mesh.axis_names
+        accum = int(getattr(config, "grad_accum", 1) or 1)
         return DataLoader(
             dataset, config.bs, shuffle=True, drop_last=True, seed=config.seed,
             mesh=mesh,
             zone_random_offset=(
                 0 if getattr(config, "device_pipeline", False)
                 else getattr(config, "train_zone_random_offset", 0)),
+            accum_presplit=accum if (spatial and accum > 1) else 0,
         )
     return DataLoader(dataset, max(1, getattr(config, "eval_bs", 1)),
                       shuffle=False, drop_last=False)

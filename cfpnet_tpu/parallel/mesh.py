@@ -146,3 +146,45 @@ def shard_batch_spatial(batch: dict, mesh: Mesh) -> dict:
         )
         for k, v in batch.items()
     }
+
+
+def shard_batch_spatial_presplit(batch: dict, mesh: Mesh, accum: int) -> dict:
+    """Microbatch-split a host batch on the HOST, then place it on a 2-D
+    ``('data','spatial')`` mesh: each leaf ``[B, ...]`` becomes
+    ``[accum, B/accum, ...]`` with the leading (microbatch) axis
+    REPLICATED — ``P(None,'data','spatial')`` for image-like leaves,
+    ``P(None,'data')`` otherwise. Feeds ``make_train_step(...,
+    pre_split=True)``: the in-jit ``(accum, B/accum)`` reshape of a
+    ``P('data','spatial')`` batch miscompiles on this XLA
+    (sp_trainstep_diag stage M), and so does ``lax.scan`` over the
+    pre-split leaves — only split-on-host + a trace-time-unrolled
+    microbatch loop is f64-clean (stage M2, ~1e-13)."""
+    if "spatial" not in mesh.axis_names:
+        raise ValueError("presplit sharding needs a ('data','spatial') mesh")
+    if jax.process_count() > 1:
+        raise NotImplementedError(
+            "spatial partitioning is single-controller; use shard_batch "
+            "for multi-host DP")
+    sp = mesh.shape["spatial"]
+    dp = mesh.shape["data"]
+    out = {}
+    for k, v in batch.items():
+        v = np.asarray(v)
+        if v.ndim < 1 or v.shape[0] % accum != 0:
+            raise ValueError(
+                f"batch[{k!r}] batch dim {v.shape[:1]} not divisible by "
+                f"--grad_accum {accum}")
+        mb = v.shape[0] // accum
+        if mb % dp != 0:
+            raise ValueError(
+                f"batch[{k!r}] microbatch size {mb} not divisible by the "
+                f"{dp}-way 'data' mesh axis (bs={v.shape[0]}, "
+                f"grad_accum={accum})")
+        if v.ndim == 4 and v.shape[1] % sp != 0:
+            raise ValueError(
+                f"batch[{k!r}] has {v.shape[1]} rows — not divisible by "
+                f"the {sp}-way 'spatial' mesh axis")
+        spec = P(None, "data", "spatial") if v.ndim == 4 else P(None, "data")
+        out[k] = jax.device_put(
+            v.reshape((accum, mb) + v.shape[1:]), NamedSharding(mesh, spec))
+    return out

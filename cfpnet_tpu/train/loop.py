@@ -359,16 +359,25 @@ def run_training(config, tiny: bool = False, max_steps_per_epoch: Optional[int] 
                 "--device_pipeline with train-side --spatial_shards is "
                 "not verified (the on-device ToF sim has not been audited "
                 "under spatial sharding); drop one of the two flags")
-        if int(getattr(config, "grad_accum", 1) or 1) > 1:
-            raise NotImplementedError(
-                "--grad_accum with train-side --spatial_shards computes "
-                "WRONG values on this XLA: the microbatch reshape of a "
-                "P('data','spatial') batch corrupts loss AND gradients "
-                "(measured in f64, scripts/sp_trainstep_diag.py stage M); "
-                "drop one of the two flags")
+        # --grad_accum composes via the HOST-side microbatch pre-split
+        # with a trace-time-unrolled microbatch loop (pipeline.py ->
+        # shard_batch_spatial_presplit, make_train_step pre_split=True):
+        # the in-jit (accum, bs/accum) reshape of a P('data','spatial')
+        # batch corrupts loss AND gradients (sp_trainstep_diag stage M)
+        # and lax.scan over the pre-split leaves corrupts gradients too
+        # (stage M2's scan variant) — only the unrolled pre-split graph
+        # is f64-clean (stage M2; equality pinned by tests/
+        # test_spatial.py::test_grad_accum_presplit_on_2d_mesh).
         sp = config.spatial_shards
         dp = config.dp_shards or max(1, jax.device_count() // sp)
-        while dp > 1 and config.bs % dp != 0:
+        # with --grad_accum the per-STEP unit on the 'data' axis is the
+        # microbatch (pre-split composition), so dp must divide bs/accum
+        _acc = int(getattr(config, "grad_accum", 1) or 1)
+        _unit = config.bs // _acc if _acc > 1 else config.bs
+        if _acc > 1 and config.bs % _acc != 0:
+            raise ValueError(
+                f"--grad_accum {_acc} does not divide --bs {config.bs}")
+        while dp > 1 and _unit % dp != 0:
             dp -= 1
         idle = jax.device_count() - dp * sp
         if idle > 0:
@@ -394,7 +403,15 @@ def run_training(config, tiny: bool = False, max_steps_per_epoch: Optional[int] 
     tx = make_optimizer(config, total_steps)
 
     # init from the first batch's shapes
+    sp_presplit = (
+        getattr(config, "spatial_shards", 0) > 1
+        and int(getattr(config, "grad_accum", 1) or 1) > 1)
     first_batch = next(iter(train_loader))
+    if sp_presplit:
+        # presplit leaves are [accum, mb, ...]; init from microbatch 0
+        init_batch = {k: v[0] for k, v in first_batch.items()}
+    else:
+        init_batch = first_batch
     rng = jax.random.key(config.seed)
     if config.device_pipeline:
         from ..data.geometry import geometry_for as _gf
@@ -409,7 +426,7 @@ def run_training(config, tiny: bool = False, max_steps_per_epoch: Optional[int] 
                   zone_sample_num=config.zone_sample_num, train=True,
                   sample_uniform=config.sample_uniform),
         )
-    state = create_train_state(model, config, rng, first_batch, geoms_t, tx)
+    state = create_train_state(model, config, rng, init_batch, geoms_t, tx)
     if jax.process_count() == 1:
         # Deterministic state placement: params/opt-state replicated over
         # the WHOLE mesh. The jitted init above already lands there via
@@ -437,7 +454,7 @@ def run_training(config, tiny: bool = False, max_steps_per_epoch: Optional[int] 
         state = state.replace(step=step_val)
         print(f"resumed from {config.resume} at epoch {start_epoch}")
 
-    train_step = make_train_step(model, config, geoms_t)
+    train_step = make_train_step(model, config, geoms_t, pre_split=sp_presplit)
 
     # --train_zone_random_offset N: zone-grid shift augmentation (reference
     # src/utils/dataloader.py:97-99, per-sample there). Zone geometry is
@@ -457,7 +474,8 @@ def run_training(config, tiny: bool = False, max_steps_per_epoch: Optional[int] 
     def train_step_for(o: int):
         if o not in _step_fns:
             _step_fns[o] = make_train_step(
-                model, config, model_geometries(config, "train", (o, o)))
+                model, config, model_geometries(config, "train", (o, o)),
+                pre_split=sp_presplit)
         return _step_fns[o]
 
     logger = JsonlLogger(

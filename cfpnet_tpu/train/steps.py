@@ -91,12 +91,24 @@ def make_loss_fn(model, config, geoms):
     return loss_fn
 
 
-def make_train_step(model, config, geoms, jit: bool = True):
+def make_train_step(model, config, geoms, jit: bool = True,
+                    pre_split: bool = False):
     """Returns jitted ``(state, batch, rng) -> (state, loss)``.
     ``jit=False`` returns the raw traceable step (used by the chained
     latency harness, which runs K steps inside one fori_loop graph).
 
     batch: image [B,H,W,3], depth [B,H,W,1], hist_data [B,Z,n], mask [B,Z].
+
+    ``pre_split=True`` (requires ``--grad_accum > 1``): the step expects
+    batch leaves ALREADY microbatch-split on the host to
+    ``[accum, B/accum, ...]`` (``parallel/mesh.py::
+    shard_batch_spatial_presplit``), skips the in-jit reshape, and
+    UNROLLS the microbatch loop at trace time. This is the
+    spatial-sharding composition path: both reshaping a
+    ``P('data','spatial')`` batch inside jit (sp_trainstep_diag stage M)
+    and ``lax.scan`` over the pre-split leaves miscompile the backward
+    on this XLA; the unrolled pre-split graph is f64-clean to ~1e-13
+    (stage M2).
 
     Mixed precision (``--compute_dtype bfloat16``): the forward/backward
     runs in bf16 while master params, optimizer state, BN statistics and
@@ -105,6 +117,8 @@ def make_train_step(model, config, geoms, jit: bool = True):
     """
     loss_fn = make_loss_fn(model, config, geoms)
     accum = int(getattr(config, "grad_accum", 1) or 1)
+    if pre_split and accum <= 1:
+        raise ValueError("pre_split requires --grad_accum > 1")
 
     if accum <= 1:
         def train_step(state: TrainState, batch: Dict, rng):
@@ -123,12 +137,25 @@ def make_train_step(model, config, geoms, jit: bool = True):
             # to running `accum` small steps); batch *statistics* are
             # per-microbatch, matching the reference's per-replica
             # DataParallel BN more closely than the full-batch path.
-            bs = jax.tree_util.tree_leaves(batch)[0].shape[0]
-            if bs % accum != 0:
-                raise ValueError(
-                    f"--grad_accum {accum} does not divide batch size {bs}")
-            micro = jax.tree_util.tree_map(
-                lambda x: x.reshape((accum, bs // accum) + x.shape[1:]), batch)
+            if pre_split:
+                # leaves arrive [accum, B/accum, ...] from the host-side
+                # split — NO in-jit reshape (reshaping a P('data','spatial')
+                # operand miscompiles on this XLA; scan's per-iteration
+                # slice of the replicated leading axis is clean)
+                lead = jax.tree_util.tree_leaves(batch)[0].shape[0]
+                if lead != accum:
+                    raise ValueError(
+                        f"pre_split batch has leading dim {lead}, expected "
+                        f"--grad_accum {accum}")
+                micro = batch
+            else:
+                bs = jax.tree_util.tree_leaves(batch)[0].shape[0]
+                if bs % accum != 0:
+                    raise ValueError(
+                        f"--grad_accum {accum} does not divide batch size {bs}")
+                micro = jax.tree_util.tree_map(
+                    lambda x: x.reshape((accum, bs // accum) + x.shape[1:]),
+                    batch)
 
             def body(carry, xs):
                 stats, gsum, lsum = carry
@@ -140,9 +167,22 @@ def make_train_step(model, config, geoms, jit: bool = True):
                 return (updates["batch_stats"], gsum, lsum + loss), None
 
             gzero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-            (stats, gsum, lsum), _ = jax.lax.scan(
-                body, (state.batch_stats, gzero, jnp.zeros(())),
-                (micro, jnp.arange(accum)))
+            if pre_split:
+                # trace-time unroll instead of lax.scan: scanning over the
+                # microbatch axis of P(None,'data','spatial') leaves ALSO
+                # miscompiles the backward on this XLA (diag stage M2,
+                # ~6e-2 x gscale errors with exact loss); with the loop
+                # unrolled each microbatch slice is a static-index gather
+                # the partitioner handles cleanly (stage M2, ~1e-13 f64)
+                carry = (state.batch_stats, gzero, jnp.zeros(()))
+                for i in range(accum):
+                    mb = jax.tree_util.tree_map(lambda x: x[i], micro)
+                    carry, _ = body(carry, (mb, i))
+                stats, gsum, lsum = carry
+            else:
+                (stats, gsum, lsum), _ = jax.lax.scan(
+                    body, (state.batch_stats, gzero, jnp.zeros(())),
+                    (micro, jnp.arange(accum)))
             grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
             state = state.apply_gradients(grads=grads, batch_stats=stats)
             return state, lsum / accum

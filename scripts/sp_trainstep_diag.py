@@ -87,7 +87,7 @@ def cast_tree(tree, dt):
 
 def run(name, x64, spatial, pins=True, grad_only=False, aux=True,
         compute_dtype="float32", replicate_state=False, safe_vjp=True,
-        grad_accum=1):
+        grad_accum=1, presplit=False):
     import jax.numpy as jnp
 
     if x64:
@@ -130,8 +130,15 @@ def run(name, x64, spatial, pins=True, grad_only=False, aux=True,
             # param "delta" below is then the raw gradient (base_p - grads
             # makes gscale the max |grad| + |param|; good enough for ranking)
         else:
-            step = jax.jit(make_train_step(model, cfg, geoms, jit=False))
+            step = jax.jit(make_train_step(model, cfg, geoms, jit=False,
+                                           pre_split=presplit))
 
+        if presplit:
+            batch = {k: np.reshape(
+                np.asarray(v),
+                (grad_accum, np.shape(v)[0] // grad_accum)
+                + tuple(np.shape(v)[1:]))
+                for k, v in batch.items()}
         ref_state, ref_loss = step(state, jax.device_put(batch), srng)
 
         if spatial == "dp_on_2d":
@@ -149,7 +156,15 @@ def run(name, x64, spatial, pins=True, grad_only=False, aux=True,
             got_state, got_loss = step(state, sharded, srng)
         elif spatial:
             mesh = make_mesh_2d(2, 2)
-            sharded = shard_batch_spatial(batch, mesh)
+            if presplit:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                sharded = {k: jax.device_put(v, NamedSharding(
+                    mesh, P(None, "data", "spatial") if np.ndim(v) == 5
+                    else P(None, "data")))
+                    for k, v in batch.items()}
+            else:
+                sharded = shard_batch_spatial(batch, mesh)
             if replicate_state:
                 from cfpnet_tpu.parallel.mesh import replicated_sharding
 
@@ -262,3 +277,15 @@ if __name__ == "__main__":
     if "M" in stages:
         run("M f64 dp2sp2 step repl-state accum2", x64=True, spatial=True,
             replicate_state=True, pins=False, grad_accum=2)
+    # M2: the pre-split workaround for M — microbatches split on the HOST
+    #    (shard_batch_spatial_presplit / make_train_step(pre_split=True)).
+    #    MEASURED: lax.scan over the P(None,'data','spatial') leaves STILL
+    #    miscompiles the backward (~6e-2 x gscale across many leaves, loss
+    #    exact — a THIRD distinct partitioner wrong-answer); with the
+    #    microbatch loop UNROLLED at trace time (static-index slices, the
+    #    shipped pre_split path) the same composition is f64-clean to
+    #    ~1e-13. Re-run on any jax/XLA bump.
+    if "M2" in stages:
+        run("M2 f64 dp2sp2 step repl-state accum2 PRESPLIT", x64=True,
+            spatial=True, replicate_state=True, pins=False, grad_accum=2,
+            presplit=True)

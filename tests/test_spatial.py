@@ -341,16 +341,14 @@ def test_train_step_grads_on_2d_mesh_dp_only(tiny_config):
 def test_spatial_training_guard_rails(tiny_config):
     """run_training must refuse the configurations that compute wrong
     values or are unaudited on this XLA (clear errors, not silent
-    corruption): spatial training without --safe_dw_vjp, with
-    --grad_accum (measured wrong — sp_trainstep_diag stage M), or with
-    --device_pipeline (unaudited)."""
+    corruption): spatial training without --safe_dw_vjp or with
+    --device_pipeline (unaudited). --grad_accum composes as of round 5
+    via the host-side microbatch pre-split (tested below)."""
     from cfpnet_tpu.train.loop import run_training
 
     base = tiny_config.replace(spatial_shards=2)
     with pytest.raises(ValueError, match="safe_dw_vjp"):
         run_training(base, tiny=True)
-    with pytest.raises(NotImplementedError, match="grad_accum"):
-        run_training(base.replace(safe_dw_vjp=True, grad_accum=2), tiny=True)
     with pytest.raises(NotImplementedError, match="device_pipeline"):
         run_training(base.replace(safe_dw_vjp=True, device_pipeline=True),
                      tiny=True)
@@ -433,6 +431,86 @@ def test_train_step_grads_on_2d_mesh_spatial(tiny_config):
     got_state, got_loss = step(state_m, sharded, srng)
     _assert_step_equal(state, step, batch, srng, got_state, got_loss,
                        ref_state, ref_loss)
+
+
+@pytest.mark.slow
+def test_run_training_spatial_with_grad_accum(tiny_config, tmp_path):
+    """End-to-end wiring of the composition: run_training with
+    --spatial_shards 2 --grad_accum 2 --safe_dw_vjp must pre-split
+    batches in the loader (pipeline.py accum_presplit), init from
+    microbatch 0, and finish with a finite loss."""
+    from cfpnet_tpu.train.loop import run_training
+
+    cfg = tiny_config.replace(
+        bs=4, eval_bs=1, epochs=1, spatial_shards=2, grad_accum=2,
+        safe_dw_vjp=True, dataset="synthetic", dataset_eval="synthetic",
+        synthetic_length=4, workers=0, no_logging=True,
+        save_dir=str(tmp_path),
+    )
+    run_training(cfg, tiny=True, max_steps_per_epoch=1)
+
+
+@pytest.mark.slow
+def test_grad_accum_presplit_on_2d_mesh(tiny_config):
+    """--grad_accum composed with train-side spatial sharding: the in-jit
+    (accum, bs/accum) reshape of a P('data','spatial') batch miscompiles
+    (loss 1e-4-rel wrong, param updates up to 0.75 x gscale —
+    sp_trainstep_diag stage M) and lax.scan over host-pre-split leaves
+    miscompiles too (~6e-2 x gscale, loss exact), so the microbatch split
+    happens on the HOST (shard_batch_spatial_presplit: leaves
+    [accum, B/accum, ...] with a replicated leading axis) and
+    make_train_step(pre_split=True) UNROLLS the microbatch loop at trace
+    time. This pins the whole composition: the presplit sharded accum
+    step must match the single-device accum step (diag stage M2 measured
+    it f64-clean, ~1e-13)."""
+    import optax
+
+    from cfpnet_tpu.data.pipeline import collate
+    from cfpnet_tpu.models.deltar import model_geometries
+    from cfpnet_tpu.parallel.mesh import (replicated_sharding,
+                                          shard_batch_spatial_presplit)
+    from cfpnet_tpu.train.steps import create_train_state, make_train_step
+
+    cfg = tiny_config.replace(bs=4, safe_dw_vjp=True, grad_accum=2)
+    model = make_model(cfg, tiny=True)
+    geoms = model_geometries(cfg, "train")
+    ds = SyntheticDataset(cfg, "train", length=4)
+    batch = collate([ds[i] for i in range(4)])
+    rng = jax.random.key(0)
+    state = create_train_state(
+        model, cfg, rng, jax.device_put(batch), geoms, optax.sgd(1.0))
+    step = jax.jit(make_train_step(model, cfg, geoms, jit=False,
+                                   pre_split=True))
+    srng = jax.random.fold_in(rng, 1)
+
+    # single-device reference: same pre-split leaves, default placement
+    presplit_host = {k: np.reshape(np.asarray(v),
+                                   (2, np.shape(v)[0] // 2)
+                                   + tuple(np.shape(v)[1:]))
+                     for k, v in batch.items()}
+    ref_state, ref_loss = step(state, jax.device_put(presplit_host), srng)
+
+    mesh = _mesh22()
+    sharded = shard_batch_spatial_presplit(batch, mesh, 2)
+    img_key = "image_u8" if "image_u8" in sharded else "image"
+    assert tuple(sharded[img_key].sharding.spec) == (None, "data", "spatial")
+    state_m = jax.device_put(state, replicated_sharding(mesh))
+    got_state, got_loss = step(state_m, sharded, srng)
+    _assert_step_equal(state, step, batch, srng, got_state, got_loss,
+                       ref_state, ref_loss)
+
+    # and the pre-split semantics equal the plain accum step's (unrolled
+    # vs scanned codegen differ at f32 rounding — measured 2e-6 max on
+    # O(0.3) params; 1e-5 separates that from any real semantic drift)
+    plain = jax.jit(make_train_step(model, cfg, geoms, jit=False))
+    plain_state, plain_loss = plain(state, jax.device_put(batch), srng)
+    np.testing.assert_allclose(float(ref_loss), float(plain_loss), rtol=1e-5)
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(ref_state.params),
+            jax.tree_util.tree_leaves_with_path(plain_state.params)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float64), np.asarray(b, np.float64),
+            rtol=0, atol=1e-5, err_msg=f"param {jax.tree_util.keystr(pa)}")
 
 
 @pytest.mark.slow
